@@ -1,0 +1,278 @@
+"""Lexical grounding joins (SURVEY.md J1/J2/J3) — the core operator.
+
+The reference probes each source (id, name) pair against an in-memory
+normalized-text index dict (predict/lexical.py:256-310) and has an
+all-by-all mode pairing equal-normalized-text terms across namespaces
+(:200-244). The web-scale analogue adds mention *detection*: scanning
+document text for label occurrences (:190-194 is the reference's in-name
+annotate variant).
+
+Spark-first design:
+
+- ``ground_names`` (J1): broadcast hash join of the probe side against the
+  (small, dimension-sized) lexical index on normalized text — exactly what
+  the reference's dict probe is, but distributed and codegen'd. Skewed hub
+  labels are handled by *salting* the probe side and exploding the index
+  side (``salt`` parameter), because a hot normalized-text key otherwise
+  concentrates one task.
+- ``annotate_mentions`` (J2): iterator-of-batches pandas UDF with a
+  per-executor-initialized broadcast Aho–Corasick automaton; init cost is
+  amortized across all Arrow batches of a partition. Emits token-aligned
+  spans; candidates attach via a broadcast join on the matched surface.
+- ``all_by_all`` (J3): self-join of the label table on norm_text with a
+  theta condition (different prefix, canonical orientation) — equal-text
+  buckets only, never a cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sssom_curator_spark.functions.aho_corasick import AhoCorasick
+from sssom_curator_spark.functions.scoring import score_match_batch
+from sssom_curator_spark.functions.text_norm import norm_text_col, normalize_text
+
+__all__ = [
+    "with_norm_text",
+    "ground_names",
+    "all_by_all",
+    "annotate_mentions",
+    "mention_candidates_ngram",
+]
+
+#: Default prediction predicate/justification (predict/utils.py:28-37,
+#: predict/lexical.py:301).
+EXACT_MATCH = "skos:exactMatch"
+LEXICAL_MATCHING = "semapv:LexicalMatching"
+
+
+def with_norm_text(labels: DataFrame, name_col: str = "name") -> DataFrame:
+    """Attach/refresh the ``norm_text`` index key as a JVM expression."""
+    return labels.withColumn("norm_text", norm_text_col(name_col))
+
+
+def ground_names(
+    names: DataFrame,
+    index: DataFrame,
+    *,
+    salt: int = 0,
+    cutoff: float = 0.0,
+) -> DataFrame:
+    """Grounding join (J1): probe (prefix, identifier, name) rows against the
+    lexical index; emit SSSOM-shaped prediction edges.
+
+    ``names`` columns: prefix, identifier, name. ``index`` columns: prefix,
+    identifier, name, norm_text. The index side is always broadcast (it is
+    ontology-label-sized); with ``salt > 0`` the probe side gets a random
+    salt column and the index is exploded ``salt`` ways so a hub label
+    (e.g. a MeSH high-frequency term) spreads over ``salt`` tasks. With a
+    broadcast build side the join itself never shuffles; salting matters
+    when a downstream shuffle (dedup/sort) follows the explode.
+    """
+    probe = names.withColumn("_norm", norm_text_col("name"))
+    build = index.select(
+        F.col("prefix").alias("o_prefix"),
+        F.col("identifier").alias("o_identifier"),
+        F.col("name").alias("o_name"),
+        F.col("norm_text").alias("_norm"),
+    )
+    if salt > 0:
+        probe = probe.withColumn("_salt", F.pmod(F.crc32(F.col("identifier")), F.lit(salt)))
+        build = build.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+        )
+        join_keys = ["_norm", "_salt"]
+    else:
+        join_keys = ["_norm"]
+    joined = probe.join(F.broadcast(build), on=join_keys, how="inner").filter(
+        F.col("prefix") != F.col("o_prefix")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(query: pd.Series, candidate: pd.Series) -> pd.Series:
+        return score_match_batch(query, candidate)
+
+    scored = joined.withColumn(
+        "confidence", _score(norm_text_col("name"), norm_text_col("o_name"))
+    )
+    if cutoff > 0:
+        scored = scored.filter(F.col("confidence") >= F.lit(cutoff))
+    return scored.select(
+        F.concat_ws(":", "prefix", "identifier").alias("subject_id"),
+        F.col("name").alias("subject_label"),
+        F.lit(EXACT_MATCH).alias("predicate_id"),
+        F.concat_ws(":", "o_prefix", "o_identifier").alias("object_id"),
+        F.col("o_name").alias("object_label"),
+        F.lit(LEXICAL_MATCHING).alias("mapping_justification"),
+        F.col("confidence"),
+    )
+
+
+def all_by_all(index: DataFrame) -> DataFrame:
+    """All-by-all self-join within equal-normalized-text buckets (J3).
+
+    Reference semantics (predict/lexical.py:200-244, fixture
+    tests/test_lexical.py:24-39): two same-text terms in different
+    namespaces yield exactly ONE mapping with deterministic orientation —
+    the later-sorted CURIE becomes the subject (R2→subject, R1→object in
+    the fixture). Equality on ``norm_text`` keeps this an equi-join
+    (shuffle-hash/SMJ at scale), never a cross join; the theta condition
+    only orders within buckets.
+    """
+    left = index.select(
+        F.col("norm_text"),
+        F.concat_ws(":", "prefix", "identifier").alias("l_curie"),
+        F.col("prefix").alias("l_prefix"),
+        F.col("name").alias("l_name"),
+    )
+    right = index.select(
+        F.col("norm_text"),
+        F.concat_ws(":", "prefix", "identifier").alias("r_curie"),
+        F.col("prefix").alias("r_prefix"),
+        F.col("name").alias("r_name"),
+    )
+    pairs = left.join(right, on="norm_text").filter(
+        (F.col("l_prefix") != F.col("r_prefix")) & (F.col("l_curie") > F.col("r_curie"))
+    )
+    return pairs.select(
+        F.col("l_curie").alias("subject_id"),
+        F.col("l_name").alias("subject_label"),
+        F.lit(EXACT_MATCH).alias("predicate_id"),
+        F.col("r_curie").alias("object_id"),
+        F.col("r_name").alias("object_label"),
+        F.lit(LEXICAL_MATCHING).alias("mapping_justification"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+
+_MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+    ]
+)
+
+
+def annotate_mentions(
+    docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    cutoff: float = 0.0,
+) -> DataFrame:
+    """Mention detection over document text (J2) + candidate attachment.
+
+    Stage 1 — ``mapInPandas`` with a broadcast pattern list: the Aho–
+    Corasick automaton is built lazily on first batch per python worker and
+    reused for every subsequent Arrow batch (iterator UDF = init-once-per-
+    partition, SURVEY.md §2.10). Spans are token-aligned offsets into the
+    *normalized* text.
+
+    Stage 2 — broadcast join of spans to the index on the matched surface
+    (surface == norm_text) fans each span out to its candidate entities;
+    scoring gives exact-surface hits confidence ≈ max.
+    """
+    spark = docs.sparkSession
+    patterns = [
+        r["norm_text"]
+        for r in index.select("norm_text").distinct().collect()
+        if r["norm_text"]
+    ]
+    bc = spark.sparkContext.broadcast(patterns)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        automaton = AhoCorasick()
+        for p in bc.value:
+            automaton.add(p)
+        automaton.build()
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "start": [], "end": [], "surface": []}
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                if text is None:
+                    continue
+                norm = normalize_text(str(text))
+                for start, end, pattern in automaton.find_words(norm):
+                    out["doc_id"].append(str(doc_id))
+                    out["start"].append(start)
+                    out["end"].append(end)
+                    out["surface"].append(pattern)
+            yield pd.DataFrame(out, columns=["doc_id", "start", "end", "surface"])
+
+    spans = docs.select(id_col, text_col).mapInPandas(scan, schema=_MENTION_SCHEMA)
+    candidates = index.select(
+        F.col("norm_text").alias("surface"),
+        F.concat_ws(":", "prefix", "identifier").alias("object_id"),
+        F.col("name").alias("object_label"),
+    )
+    out = spans.join(F.broadcast(candidates), on="surface", how="inner")
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(query: pd.Series, candidate: pd.Series) -> pd.Series:
+        return score_match_batch(query, candidate)
+
+    out = out.withColumn("confidence", _score(F.col("surface"), norm_text_col("object_label")))
+    if cutoff > 0:
+        out = out.filter(F.col("confidence") >= F.lit(cutoff))
+    return out.select(
+        "doc_id", "start", "end", "surface", "object_id", "object_label", "confidence"
+    )
+
+
+def mention_candidates_ngram(
+    docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 3,
+) -> DataFrame:
+    """Pure-JVM mention candidate generation (J2 fallback / oracle path).
+
+    Explodes token n-grams (n ≤ ``max_tokens``) of the normalized text and
+    broadcast-joins them against the index on ``norm_text``. Fully
+    expressible in ANSI SQL (DuckDB oracle) and fully codegen'd — used to
+    cross-check the Aho–Corasick path and as the skew-salting benchmark
+    subject. Output: one row per (doc, position, matched entity).
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(norm_text_col(text_col), " ").alias("toks"),
+    )
+
+    def gram_structs(n: int):
+        # positions 1..size-n+1 (1-based); empty when the doc is shorter
+        positions = F.when(
+            F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
+        def make(pos):
+            gram = F.concat_ws(
+                " ", *[F.get(F.col("toks"), pos - 1 + k) for k in range(n)]
+            )
+            return F.struct(gram.alias("gram"), pos.alias("pos"))
+
+        return F.transform(positions, make)
+
+    grams = tokens.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[gram_structs(n) for n in range(1, max_tokens + 1)]))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+    candidates = index.select(
+        F.col("norm_text").alias("gram"),
+        F.concat_ws(":", "prefix", "identifier").alias("object_id"),
+        F.col("name").alias("object_label"),
+    )
+    return grams.join(F.broadcast(candidates), on="gram", how="inner").select(
+        "doc_id", "pos", F.col("gram").alias("surface"), "object_id", "object_label"
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where engine-level configuration lives so tests, bench and the
+driver entrypoint all agree. The settings are chosen for the 100 TB design
+point (AQE with skew-join splitting, partition coalescing, Arrow batching)
+while remaining correct on ``local[k]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "ENGINE_CONFIGS"]
+
+#: Configuration applied to every session this engine creates.
+#:
+#: - AQE: runtime re-planning — coalesces post-shuffle partitions, converts
+#:   sort-merge joins to broadcast when the build side turns out small, and
+#:   splits skewed shuffle partitions (hub ontology labels, hot URLs).
+#: - Arrow: all pandas-UDF traffic is Arrow-batched; 10k rows/batch mirrors
+#:   the reference's block-nested-loop batch size
+#:   (/root/reference/src/sssom_curator/predict/embedding.py:56-57).
+#: - Session timezone pinned to UTC so timestamp semantics match the DuckDB
+#:   oracle and are cluster-independent.
+ENGINE_CONFIGS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet scans: vectorized reader + pushdown are on by default; pin
+    # them so a misconfigured cluster can't silently regress.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Keep broadcast autodetection on; dimension tables (prefix maps,
+    # lexical indices, id->name) are broadcast explicitly regardless.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.ui.explainMode": "formatted",
+}
+
+
+def get_spark(
+    app_name: str = "sssom-curator-spark",
+    master: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same code runs under the driver harness, pytest and
+    ``spark-submit`` (where ``master`` is supplied externally and must be
+    left ``None``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    for key, value in ENGINE_CONFIGS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
