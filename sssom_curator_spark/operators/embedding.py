@@ -1,0 +1,116 @@
+"""Embedding cosine-similarity join (SURVEY.md J4) and vector helpers.
+
+The reference computes a block-nested-loop cosine similarity between a
+source and a target embedding matrix in 10k-row target batches with a 0.65
+cutoff (predict/embedding.py:53-57,106-161), asserting batched == unbatched
+(tests/test_lexical.py:83-119 — the partition-invariance property a Spark
+engine must hold by construction).
+
+Spark-first design: the *target* matrix (ontology-sized, small) is
+broadcast as a numpy array; the *source* side streams through an
+iterator-of-batches pandas UDF that does one vectorized matmul per Arrow
+batch (the Arrow batch IS the reference's "batch"), applies the cutoff
+inside the UDF (Catalyst cannot push predicates into UDFs — SURVEY.md §4),
+and emits candidate arrays that ``explode`` JVM-side. Partition-invariance
+holds because each source row's scores depend only on that row and the
+broadcast matrix.
+
+For target sides too large to broadcast, ``cosine_topk_exact`` in
+:mod:`sssom_curator_spark.operators.similarity` provides the shuffle-based
+path; approximate variants live there too.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["embedding_similarity_join", "l2_normalize"]
+
+
+def l2_normalize(col) -> "F.Column":
+    """JVM-side L2 normalization of an array<float/double> column.
+
+    ``aggregate`` + ``transform`` keep it inside codegen; zero vectors pass
+    through unchanged (norm clamped to 1).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.transform(c, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return F.transform(arr, lambda x: x / safe)
+
+
+def embedding_similarity_join(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    cutoff: float = 0.65,
+    top_k: int | None = None,
+) -> DataFrame:
+    """All source×target cosine pairs with similarity ≥ ``cutoff``.
+
+    Output: ``(source_id, target_id, cosine)``, cosine rounded to 3 places
+    (reference rounds confidence — predict/lexical.py:253).
+
+    The target matrix is collected and broadcast once (reference semantics:
+    the target is one ontology's embedding table); each Arrow batch of the
+    source does a single ``(batch × dim) @ (dim × n_target)`` matmul. With
+    ``top_k`` set, only each source row's k best hits above the cutoff
+    survive — the building block of the brute-force ANN baseline.
+    """
+    spark = source.sparkSession
+    rows = target.select(id_col, vec_col).collect()
+    t_ids = np.array([r[id_col] for r in rows], dtype=object)
+    t_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if len(rows):
+        norms = np.linalg.norm(t_mat, axis=1)
+        norms[norms == 0] = 1.0
+        t_mat = (t_mat.T / norms).T
+    bc = spark.sparkContext.broadcast((t_ids, t_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("source_id", T.StringType()),
+            T.StructField("target_id", T.StringType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for batch in batches:
+            if mat.size == 0 or batch.empty:
+                yield pd.DataFrame({"source_id": [], "target_id": [], "cosine": []})
+                continue
+            s_mat = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            s_norms = np.linalg.norm(s_mat, axis=1)
+            s_norms[s_norms == 0] = 1.0
+            s_mat = (s_mat.T / s_norms).T
+            sims = s_mat @ mat.T  # (batch, n_target)
+            src_out, tgt_out, sim_out = [], [], []
+            for i, sid in enumerate(batch[id_col]):
+                row = sims[i]
+                hit_idx = np.nonzero(row >= cutoff)[0]
+                if top_k is not None and hit_idx.size > top_k:
+                    # stable top-k: score desc, then target id asc
+                    order = np.lexsort((ids[hit_idx].astype(str), -row[hit_idx]))
+                    hit_idx = hit_idx[order[:top_k]]
+                src_out.extend([str(sid)] * hit_idx.size)
+                tgt_out.extend(str(t) for t in ids[hit_idx])
+                sim_out.extend(np.round(row[hit_idx], 3))
+            yield pd.DataFrame(
+                {"source_id": src_out, "target_id": tgt_out, "cosine": sim_out}
+            )
+
+    return source.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)

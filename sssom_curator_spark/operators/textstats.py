@@ -1,0 +1,129 @@
+"""Text-analysis operators for web corpora: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All four are pure column expressions (whole-stage codegen, ANSI-SQL
+expressible for the DuckDB oracle) — the profile tables are literal maps,
+never joins. They feed the KG pipeline's filtering stage (only
+good-quality, right-language pages reach mention detection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "quality_features",
+    "quality_score",
+    "langid_heuristic",
+    "doc_fingerprint",
+]
+
+#: Tiny per-language function-word profiles (deterministic heuristic).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"],
+}
+
+#: BPE-ish token pattern: words, numbers, or single non-space symbols —
+#: what a byte-pair tokenizer's pre-tokenizer typically splits on.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column | str, *, pattern: str = TOKEN_PATTERN) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features per document."""
+    c = F.col(text_col)
+    words = _words(c)
+    n_words = F.size(words)
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_chars = F.length(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_words": n_words,
+            "mean_word_len": F.round(
+                F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0)), 4
+            ),
+            "punct_ratio": F.round(
+                F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+            ),
+            "stopword_ratio": F.round(
+                F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 4
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short docs, punctuation
+    soup, and stopword-free keyword stuffing. Deterministic, monotone in
+    each feature — a Gopher-rules-style filter reduced to three signals."""
+    feats = quality_features(df, text_col=text_col)
+    length_term = F.least(F.col("n_words") / 50.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
+    stop_term = F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
+    return feats.withColumn(
+        "quality", F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
+    )
+
+
+def langid_heuristic(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Language ID by function-word voting against literal profiles.
+
+    Score per language = fraction of words in that language's profile;
+    winner must beat 0 else ``und``. Ties resolve alphabetically
+    (deterministic). Pure codegen — a 10-word IN-list per language.
+    """
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    scores = []
+    for lang, profile in sorted(LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in profile])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        score = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumns(
+        {
+            "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+            "lang_score": F.round(best["score"], 4),
+        }
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, *, text_col: str = "text", gram_chars: int = 8
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum md5 over character 8-gram
+    windows of the normalized text, plus a full-content md5.
+
+    ``min_gram_hash`` is robust to small edits (shared window survives);
+    ``content_hash`` is the exact-dup key. Both portable hex strings.
+    """
+    c = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.length(c)
+    positions = F.when(
+        n >= gram_chars, F.sequence(F.lit(1), n - (gram_chars - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(positions, lambda pos: F.md5(c.substr(pos, F.lit(gram_chars))))
+    return df.withColumns(
+        {
+            "content_hash": F.md5(c),
+            "min_gram_hash": F.coalesce(F.array_min(grams), F.md5(c)),
+        }
+    )
