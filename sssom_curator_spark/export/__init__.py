@@ -1,0 +1,6 @@
+"""Exports: merge sink, YAML summary, component/anomaly reports."""
+
+from sssom_curator_spark.export.merge import merge_to_tsv
+from sssom_curator_spark.export.summary import component_stats, summarize
+
+__all__ = ["merge_to_tsv", "summarize", "component_stats"]

@@ -1,0 +1,129 @@
+"""Summaries and graph analyses (SURVEY.md S8/A1–A4, G1–G4, J8/U3).
+
+``summarize`` mirrors export/summary.py:22-61 (prefix-pair counters per
+state, contributor counts, totals) — small aggregate results collected to
+the driver for YAML emission. ``component_stats`` and the anomaly reports
+mirror export/charts.py:32-184 but run on CC labels from the iterative-join
+operator instead of networkx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.functions.curie_ops import curie_prefix
+from sssom_curator_spark.graph.components import connected_components
+from sssom_curator_spark.operators.relational import (
+    contributor_counts,
+    file_totals,
+    prefix_pair_counts,
+)
+
+__all__ = [
+    "summarize",
+    "component_stats",
+    "unstable_components",
+    "incomplete_components",
+]
+
+
+def summarize(repository: DataFrame) -> dict:
+    """YAML-ready summary dict (S8). All aggregates are tiny; collecting
+    them is the correct driver/executor split."""
+    out: dict = {"files": {}, "contributors": {}}
+    for r in file_totals(repository).collect():
+        out["files"][r["status"]] = {
+            "mapping_count": r["mapping_count"],
+            "prefix_count": r["prefix_count"],
+        }
+        pairs = prefix_pair_counts(repository.filter(F.col("status") == r["status"]))
+        out["files"][r["status"]]["prefix_pairs"] = {
+            f"{p['source_prefix']}-{p['target_prefix']}": p["count"] for p in pairs.collect()
+        }
+    for r in contributor_counts(repository).collect():
+        out["contributors"][r["author"]] = r["count"]
+    return out
+
+
+def _positive_edges(repository: DataFrame) -> DataFrame:
+    return repository.filter(
+        (F.col("status") == "positive") & F.col("predicate_modifier").isNull()
+    ).select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+
+
+def component_stats(repository: DataFrame) -> DataFrame:
+    """A4: per positive-component node/edge counts, density, prefix stats.
+
+    Density = 2E / (V(V-1)) computed from counts (charts.py:92-93) —
+    no per-component subgraph materialization.
+    """
+    edges = _positive_edges(repository)
+    comps = connected_components(edges)
+    edge_comp = edges.join(
+        comps.withColumnRenamed("node", "src").withColumnRenamed("component", "comp"), on="src"
+    )
+    edge_counts = edge_comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = (
+        comps.groupBy("component")
+        .agg(
+            F.countDistinct("node").alias("n_nodes"),
+            F.countDistinct(curie_prefix("node")).alias("n_prefixes"),
+            (F.countDistinct("node") - F.countDistinct(curie_prefix("node"))).alias(
+                "n_duplicate_prefix_nodes"
+            ),
+        )
+        .withColumnRenamed("component", "comp")
+    )
+    return (
+        node_stats.join(edge_counts, on="comp", how="left")
+        .select(
+            F.col("comp").alias("component"),
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.when(
+                    F.col("n_nodes") > 1,
+                    2.0 * F.coalesce("n_edges", F.lit(0)) / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("density"),
+            "n_prefixes",
+            "n_duplicate_prefix_nodes",
+        )
+        .orderBy(F.desc("n_nodes"), "component")
+    )
+
+
+def unstable_components(repository: DataFrame) -> DataFrame:
+    """J8 (charts.py:81-87): positive components containing a negative edge
+    between two of their members — contradiction report."""
+    edges = _positive_edges(repository)
+    comps = connected_components(edges)
+    neg = repository.filter(
+        (F.col("status") == "negative") | (F.col("predicate_modifier") == "Not")
+    ).select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+    labeled = (
+        neg.join(comps.withColumnRenamed("node", "src").withColumnRenamed("component", "c1"), on="src")
+        .join(comps.withColumnRenamed("node", "dst").withColumnRenamed("component", "c2"), on="dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .select(F.col("c1").alias("component"), "src", "dst")
+    )
+    return labeled
+
+
+def incomplete_components(repository: DataFrame) -> DataFrame:
+    """U3 (charts.py:92-112): missing edges within components — all member
+    pairs (u < v) minus existing edges. Pair generation is a per-component
+    self-join (bounded by component size), not a global cross join."""
+    edges = _positive_edges(repository)
+    comps = connected_components(edges)
+    l = comps.select(F.col("component"), F.col("node").alias("u"))
+    r = comps.select(F.col("component"), F.col("node").alias("v"))
+    all_pairs = l.join(r, on="component").filter(F.col("u") < F.col("v"))
+    existing = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    return all_pairs.join(existing, on=["u", "v"], how="left_anti").select(
+        "component", "u", "v"
+    )

@@ -1,0 +1,150 @@
+"""Deterministic synthetic Common-Crawl-style pages (north-rule input).
+
+BASELINE.json ``input_hint``: an Iceberg/Parquet table
+``(url, warc_ts, html, text, lang)``. This generator is 100% column
+expressions over ``spark.range`` — no driver data, no Python RNG — so it
+scales to any row count, produces identical content at any parallelism
+(values derive only from the row index via xxhash64), and the pages ship
+with their ground-truth ``text`` so the extractor's byte-identical-per-url
+invariant is testable at every scale.
+
+Content design (FIXTURES.md §2):
+- filler sentences from per-language vocabularies;
+- ~50% of docs get one planted ontology-label mention (uniform over the
+  label list), and ~10% get the designated HUB label — the skewed key that
+  exercises salting in the grounding join;
+- HTML wraps the text with boilerplate (nav/footer/menu/script/style)
+  that the extractor must drop exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["generate_pages", "DEFAULT_LABELS", "HUB_LABEL", "VOCAB"]
+
+VOCAB = {
+    "en": (
+        "the quick brown fox jumps over a lazy dog while many researchers "
+        "study new data systems for large scale text processing and web "
+        "analysis with modern tools that index billions of pages every day"
+    ).split(),
+    "de": (
+        "der die das und ist nicht mit ein zu den viele forscher "
+        "untersuchen neue daten systeme im netz jeden tag"
+    ).split(),
+    "es": (
+        "el la de que y en un es los por muchos sistemas de datos web "
+        "analizan paginas cada dia"
+    ).split(),
+}
+
+#: Ontology labels planted into page text (normalized form, lowercase).
+DEFAULT_LABELS = [
+    "alpha tocopherol",
+    "valencene",
+    "glyoxal dioxime",
+    "tyramine sulfate",
+    "ethoxzolamide",
+    "xanthan gum",
+    "fluorothreonine",
+    "visnadin",
+]
+
+#: The skewed hub label (MeSH/UMLS-style high-frequency term).
+HUB_LABEL = "aspirin"
+
+
+def _pick(arr_lit: Column, h: Column) -> Column:
+    return F.element_at(arr_lit, (F.pmod(h, F.size(arr_lit)) + 1).cast("int"))
+
+
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    *,
+    labels: list[str] | None = None,
+    hub_label: str = HUB_LABEL,
+    mention_rate_pct: int = 50,
+    hub_rate_pct: int = 10,
+) -> DataFrame:
+    """Build the pages DataFrame; deterministic in ``n`` only."""
+    labels = labels or DEFAULT_LABELS
+    base = spark.range(n).select(F.col("id").alias("i"))
+
+    def h(*salts: int) -> Column:
+        cols = [F.col("i")] + [F.lit(s) for s in salts]
+        return F.abs(F.xxhash64(*cols))
+
+    # language: 80% en, 10% de, 10% es
+    lang = (
+        F.when(F.pmod(h(1), 10) < 8, F.lit("en"))
+        .when(F.pmod(h(1), 10) < 9, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    df = base.withColumn("lang", lang)
+
+    # body: 3 sentences × 8 words from the language vocabulary
+    def sentence(sent_idx: int) -> Column:
+        words = []
+        for w in range(8):
+            pos_hash = h(100 + sent_idx * 8 + w)
+            word = (
+                F.when(F.col("lang") == "en", _pick(F.array(*map(F.lit, VOCAB["en"])), pos_hash))
+                .when(F.col("lang") == "de", _pick(F.array(*map(F.lit, VOCAB["de"])), pos_hash))
+                .otherwise(_pick(F.array(*map(F.lit, VOCAB["es"])), pos_hash))
+            )
+            words.append(word)
+        return F.concat_ws(" ", *words)
+
+    label_arr = F.array(*map(F.lit, labels))
+    mention = F.when(
+        F.pmod(h(2), 100) < hub_rate_pct, F.lit(hub_label)
+    ).when(F.pmod(h(3), 100) < mention_rate_pct, _pick(label_arr, h(4)))
+    mention_sentence = F.when(
+        mention.isNotNull(), F.concat(F.lit("we discuss "), mention, F.lit(" in detail"))
+    )
+
+    lines = F.array_compact(
+        F.array(
+            F.concat(F.lit("Doc "), F.col("i").cast("string")),
+            sentence(0),
+            sentence(1),
+            mention_sentence,
+            sentence(2),
+        )
+    )
+    text = F.array_join(lines, "\n")
+    df = df.withColumn("text", text).withColumn("_lines", lines)
+
+    # HTML: title = first line; body paragraphs = remaining lines;
+    # boilerplate that the extractor must strip byte-exactly.
+    paragraphs = F.array_join(
+        F.transform(
+            F.slice(F.col("_lines"), 2, F.greatest(F.size("_lines") - 1, F.lit(0))),
+            lambda l: F.concat(F.lit("<p>"), l, F.lit("</p>")),
+        ),
+        "",
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>"),
+        F.element_at(F.col("_lines"), 1),
+        F.lit("</title><style>p { margin: 0; }</style>"),
+        F.lit("<script>var t = 1 < 2;</script></head><body>"),
+        F.lit('<nav class="topnav">Home | About</nav>'),
+        F.lit('<div id="cookie-banner">We use cookies</div>'),
+        paragraphs,
+        F.lit("<!-- tracking --><footer>&copy; example.org</footer>"),
+        F.lit("</body></html>"),
+    )
+    return df.select(
+        F.concat(F.lit("https://example.org/page/"), F.col("i").cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.pmod(h(5), 86400 * 30).cast("double"))
+        ).alias("warc_ts"),
+        html_str.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
