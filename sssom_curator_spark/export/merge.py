@@ -44,6 +44,7 @@ def used_prefixes(df: DataFrame) -> list[str]:
                     curie_prefix("object_id"),
                     curie_prefix("predicate_id"),
                     curie_prefix("mapping_justification"),
+                    curie_prefix("mapping_tool_id"),
                 )
             ).alias("p")
         )

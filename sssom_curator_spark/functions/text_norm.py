@@ -34,7 +34,10 @@ GREEK_MAP = {
 }
 
 _DASHES = "‐‑‒–—−"  # unicode dash family → ASCII hyphen
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace only: Java regex \s (used in the column expression) is
+# ASCII-only by default, so the Python path must match exactly.
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_WS_CHARS = " \t\n\r\f\v"
 
 
 def normalize_text(text: str | None) -> str | None:
@@ -51,7 +54,7 @@ def normalize_text(text: str | None) -> str | None:
         s = s.replace(dash, "-")
     s = s.lower()
     s = s.replace("-", " ")
-    s = _WS_RE.sub(" ", s).strip()
+    s = _WS_RE.sub(" ", s).strip(_WS_CHARS)
     return s
 
 

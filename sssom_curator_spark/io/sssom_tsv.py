@@ -131,11 +131,15 @@ def lint_frame(
             ~subject_prefix.isin(exclude_prefixes) & ~object_prefix.isin(exclude_prefixes)
         )
     if exclude_mappings is not None:
-        out = out.join(
-            F.broadcast(exclude_mappings.select(*CANONICAL_KEY_COLUMNS).distinct()),
-            on=CANONICAL_KEY_COLUMNS,
-            how="left_anti",
-        )
+        excl = exclude_mappings.select(
+            *[F.col(c).alias(f"_x_{c}") for c in CANONICAL_KEY_COLUMNS]
+        ).distinct()
+        # null-safe equality: predicate_modifier/justification may be null
+        cond = None
+        for c in CANONICAL_KEY_COLUMNS:
+            eq = out[c].eqNullSafe(F.col(f"_x_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        out = out.join(F.broadcast(excl), on=cond, how="left_anti")
     if drop_duplicates:
         out = out.dropDuplicates(CANONICAL_KEY_COLUMNS)
     if sort:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sssom_curator_spark.functions.text_norm import norm_text_col
+from sssom_curator_spark.operators.textstats import stable_round
 
 __all__ = [
     "exact_dedup",
@@ -97,7 +98,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     shingle_n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     jaccard_threshold: float = 0.5,
     verify: bool = True,
 ) -> DataFrame:
@@ -164,7 +165,7 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.coalesce(F.col("inter"), F.lit(0))
                 / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))),
                 6,
@@ -203,7 +204,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
             ).alias("jaccard"),
         )

@@ -69,12 +69,16 @@ def confidence_cutoff(df: DataFrame, cutoff: float = 0.65) -> DataFrame:
 def exclude_curated(predictions: DataFrame, curated: DataFrame) -> DataFrame:
     """J5 "zombie removal" (predict/lexical.py:506-521): drop predictions
     whose canonical tuple already exists among curated mappings. Curated is
-    human-scale → broadcast anti-join, no shuffle of the big side."""
-    return predictions.join(
-        F.broadcast(curated.select(*CANONICAL_KEY_COLUMNS).distinct()),
-        on=CANONICAL_KEY_COLUMNS,
-        how="left_anti",
-    )
+    human-scale → broadcast anti-join, no shuffle of the big side.
+    Null-safe equality on every key (predicate_modifier is usually null)."""
+    excl = curated.select(
+        *[F.col(c).alias(f"_x_{c}") for c in CANONICAL_KEY_COLUMNS]
+    ).distinct()
+    cond = None
+    for c in CANONICAL_KEY_COLUMNS:
+        eq = predictions[c].eqNullSafe(F.col(f"_x_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return predictions.join(F.broadcast(excl), on=cond, how="left_anti")
 
 
 def exclude_existing_xrefs(predictions: DataFrame, xrefs: DataFrame) -> DataFrame:

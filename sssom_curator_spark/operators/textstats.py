@@ -12,7 +12,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Epsilon added before rounding: ratios of small integers frequently land
+#: exactly on a half-boundary (e.g. 0.48425), where Spark (exact-binary
+#: HALF_UP) and other engines (shortest-repr rounding) disagree. A +1e-9
+#: shift makes the rounding decision identical everywhere; the DuckDB
+#: oracles apply the same shift.
+ROUND_EPS = 1e-9
+
+
+def stable_round(col, scale: int):
+    return F.round(col + ROUND_EPS, scale)
+
+
 __all__ = [
+    "stable_round",
     "token_count",
     "quality_features",
     "quality_score",
@@ -56,13 +69,13 @@ def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         {
             "n_chars_q": n_chars,
             "n_words": n_words,
-            "mean_word_len": F.round(
+            "mean_word_len": stable_round(
                 F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0)), 4
             ),
-            "punct_ratio": F.round(
+            "punct_ratio": stable_round(
                 F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
             ),
-            "stopword_ratio": F.round(
+            "stopword_ratio": stable_round(
                 F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 4
             ),
         }
@@ -78,7 +91,7 @@ def quality_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
     stop_term = F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
     return feats.withColumn(
-        "quality", F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
+        "quality", stable_round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4)
     )
 
 
@@ -101,7 +114,7 @@ def langid_heuristic(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-            "lang_score": F.round(best["score"], 4),
+            "lang_score": stable_round(best["score"], 4),
         }
     )
 

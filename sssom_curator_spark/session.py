@@ -41,6 +41,13 @@ ENGINE_CONFIGS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.ui.explainMode": "formatted",
+    # Local-mode hygiene: the default 1g driver heap OOMs once dozens of
+    # AQE query executions + checkpoint blocks accumulate; the UI retains
+    # per-execution plan trees we never look at in headless runs.
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "16",
+    "spark.cleaner.periodicGC.interval": "30s",
 }
 
 

@@ -1,0 +1,119 @@
+"""Curation state machine vs the reference's golden transitions
+(/root/reference/tests/wsgi_cases.py:50-93,199-323)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.curation.state import apply_marks
+from sssom_curator_spark.sources.fixtures import wsgi_repository
+
+TODAY = datetime.date(2026, 8, 16)
+USER = "orcid:0000-0000-0000-0000"
+
+
+def _marked(spark, mark):
+    repo = wsgi_repository(spark)
+    marks = repo.filter(F.col("status") == "predicted").select(
+        "record_id", F.lit(mark).alias("mark")
+    )
+    out = apply_marks(repo, marks, author=USER, today=TODAY)
+    return {r["status"]: r.asDict() for r in out.collect()}
+
+
+class TestMarks:
+    def test_correct(self, spark):
+        got = _marked(spark, "correct")
+        assert set(got) == {"positive"} or len(got) == 2
+        rows = _marked(spark, "correct")
+        cur = rows["positive"]
+        # seeded positive also has status positive; find the curated one
+        out = [
+            r.asDict()
+            for r in apply_marks(
+                wsgi_repository(spark),
+                wsgi_repository(spark)
+                .filter(F.col("status") == "predicted")
+                .select("record_id", F.lit("correct").alias("mark")),
+                author=USER,
+                today=TODAY,
+            ).collect()
+            if r["subject_id"] == "chebi:133530"
+        ]
+        assert len(out) == 1
+        m = out[0]
+        # golden: TEST_PREDICTED_MAPPING_MARKED_TRUE (wsgi_cases.py:50-57)
+        assert m["status"] == "positive"
+        assert m["mapping_justification"] == "semapv:ManualMappingCuration"
+        assert m["author_id"] == [USER]
+        assert m["mapping_date"] == TODAY
+        assert m["confidence"] is None
+        assert m["mapping_tool"] is None
+        assert m["predicate_id"] == "skos:exactMatch"
+        assert m["predicate_modifier"] is None
+
+    def _one(self, spark, mark):
+        repo = wsgi_repository(spark)
+        marks = repo.filter(F.col("status") == "predicted").select(
+            "record_id", F.lit(mark).alias("mark")
+        )
+        out = apply_marks(repo, marks, author=USER, today=TODAY)
+        rows = [r.asDict() for r in out.collect() if r["subject_id"] == "chebi:133530"]
+        assert len(rows) == 1
+        return rows[0]
+
+    def test_incorrect(self, spark):
+        m = self._one(spark, "incorrect")
+        # golden: MARKED_FALSE (wsgi_cases.py:86-93)
+        assert m["status"] == "negative"
+        assert m["predicate_modifier"] == "Not"
+        assert m["predicate_id"] == "skos:exactMatch"
+        assert m["mapping_justification"] == "semapv:ManualMappingCuration"
+        assert m["author_id"] == [USER]
+        assert m["confidence"] is None
+
+    def test_unsure(self, spark):
+        m = self._one(spark, "unsure")
+        # golden: MARKED_UNSURE (wsgi_cases.py:58-68): prediction row kept
+        # intact, reviewer fields added
+        assert m["status"] == "unsure"
+        assert m["mapping_justification"] == "semapv:LexicalMatching"
+        assert m["confidence"] == 0.95
+        assert m["mapping_tool"] == "test"
+        assert m["reviewer_id"] == [USER]
+        assert m["review_date"] == TODAY
+        assert m["reviewer_agreement"] == 0.0
+        assert m["author_id"] is None
+
+    def test_broad(self, spark):
+        m = self._one(spark, "BROAD")
+        assert m["status"] == "positive"
+        assert m["predicate_id"] == "skos:broadMatch"
+        assert m["mapping_justification"] == "semapv:ManualMappingCuration"
+
+    def test_narrow(self, spark):
+        m = self._one(spark, "NARROW")
+        assert m["status"] == "positive"
+        assert m["predicate_id"] == "skos:narrowMatch"
+
+    def test_positive_seed_untouched(self, spark):
+        repo = wsgi_repository(spark)
+        marks = repo.filter(F.col("status") == "predicted").select(
+            "record_id", F.lit("correct").alias("mark")
+        )
+        out = apply_marks(repo, marks, author=USER, today=TODAY)
+        seed = [r.asDict() for r in out.collect() if r["subject_id"] == "chebi:131408"]
+        assert len(seed) == 1
+        assert seed[0]["status"] == "positive"
+        assert seed[0]["author_id"] is None  # untouched
+
+    def test_record_id_refreshed(self, spark):
+        repo = wsgi_repository(spark)
+        before = {
+            r["subject_id"]: r["record_id"] for r in repo.collect()
+        }
+        m = self._one(spark, "incorrect")
+        assert m["record_id"] != before["chebi:133530"]
+        assert len(m["record_id"]) == 64

@@ -1,0 +1,103 @@
+"""Embedding similarity: partition/batch invariance (the reference's own
+batched-vs-unbatched property, tests/test_lexical.py:83-119) + numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sssom_curator_spark.operators.embedding import embedding_similarity_join
+from sssom_curator_spark.operators.similarity import cosine_topk_exact, cosine_topk_lsh
+
+# the reference's fixture matrices (tests/test_lexical.py:86-105)
+LEFT = {
+    "49E2512": [0.0, 0.0, 1.0],
+    "48C3522": [0.0, 1.0, 0.0],
+    "49G621": [1.0, 0.0, 0.0],
+}
+RIGHT = {
+    "0000005": [0.0, 1.0, 1.0],
+    "0000102": [1.0, 1.0, 0.0],
+    "0000953": [1.0, 0.0, 1.0],
+    "0001088": [1.0, 1.0, 1.0],
+}
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in data.items()],
+        "id string, embedding array<float>",
+    )
+
+
+def _numpy_oracle(cutoff):
+    out = set()
+    for lid, lv in LEFT.items():
+        for rid, rv in RIGHT.items():
+            a, b = np.array(lv), np.array(rv)
+            sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if sim >= cutoff:
+                out.add((lid, rid, round(sim, 3)))
+    return out
+
+
+class TestSimilarityJoin:
+    def test_matches_numpy_oracle_at_cutoffs(self, spark):
+        for cutoff in (-1.0, 0.0, 0.5):
+            got = {
+                (r["source_id"], r["target_id"], r["cosine"])
+                for r in embedding_similarity_join(
+                    _df(spark, LEFT), _df(spark, RIGHT), cutoff=cutoff
+                ).collect()
+            }
+            assert got == _numpy_oracle(cutoff), cutoff
+
+    def test_batch_partition_invariance(self, spark):
+        # reference asserts batched == unbatched; Spark equivalent: result
+        # independent of source partitioning / Arrow batch size
+        left = _df(spark, LEFT)
+        a = embedding_similarity_join(left.coalesce(1), _df(spark, RIGHT), cutoff=-1)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            b = embedding_similarity_join(left.repartition(3), _df(spark, RIGHT), cutoff=-1)
+            assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+    def test_top_k(self, spark):
+        got = embedding_similarity_join(
+            _df(spark, LEFT), _df(spark, RIGHT), cutoff=-1, top_k=2
+        )
+        per_source = {}
+        for r in got.collect():
+            per_source.setdefault(r["source_id"], []).append(r)
+        assert all(len(v) == 2 for v in per_source.values())
+
+
+class TestTopK:
+    def test_exact_topk_ranks(self, spark):
+        emb = spark.createDataFrame(
+            [(str(i), [float(i == j) for j in range(4)]) for i in range(4)]
+            + [("q", [1.0, 0.1, 0.0, 0.0])],
+            "id string, embedding array<float>",
+        )
+        got = cosine_topk_exact(emb.filter(emb["id"] == "q"), emb, k=2)
+        rows = sorted(got.collect(), key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == "0"
+        assert rows[1]["neighbor_id"] == "1"
+
+    def test_lsh_results_subset_of_exact_scores(self, spark):
+        import random
+
+        rng = random.Random(3)
+        emb = spark.createDataFrame(
+            [(str(i), [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+            "id string, embedding array<float>",
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk_exact(emb.limit(5), emb, k=60).collect()
+        }
+        approx = cosine_topk_lsh(emb.limit(5), emb, k=5).collect()
+        assert approx  # finds something
+        for r in approx:
+            assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]

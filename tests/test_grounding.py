@@ -1,0 +1,127 @@
+"""Grounding joins: all-by-all semantics, salting invariance, AC vs n-gram
+agreement, partition invariance (the reference's batched-vs-unbatched
+property generalized — tests/test_lexical.py:80-119)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.operators.grounding import (
+    all_by_all,
+    annotate_mentions,
+    ground_names,
+    mention_candidates_ngram,
+    with_norm_text,
+)
+from sssom_curator_spark.sources.fixtures import seed_labels
+
+
+def _labels(spark):
+    return seed_labels(spark)
+
+
+class TestAllByAll:
+    def test_two_same_text_terms_one_mapping(self, spark):
+        # mirror of /root/reference/tests/test_lexical.py:24-39: two terms
+        # with the same text in different namespaces → exactly 1 mapping,
+        # deterministic orientation (later-sorted curie is subject).
+        labels = spark.createDataFrame(
+            [
+                ("r1ns", "1", "test", "test"),
+                ("r2ns", "2", "test", "test"),
+            ],
+            "prefix string, identifier string, name string, norm_text string",
+        )
+        rows = all_by_all(labels).collect()
+        assert len(rows) == 1
+        assert rows[0]["subject_id"] == "r2ns:2"
+        assert rows[0]["object_id"] == "r1ns:1"
+
+    def test_same_prefix_pairs_excluded(self, spark):
+        labels = spark.createDataFrame(
+            [("ns", "1", "x", "x"), ("ns", "2", "x", "x")],
+            "prefix string, identifier string, name string, norm_text string",
+        )
+        assert all_by_all(labels).count() == 0
+
+    def test_seeded_cross_namespace_pairs(self, spark):
+        rows = all_by_all(_labels(spark)).collect()
+        pairs = {(r["subject_id"], r["object_id"]) for r in rows}
+        assert ("mesh:D024502", "CHEBI:18145") in pairs  # alpha tocopherol
+        assert ("mesh:C523270", "CHEBI:101096") in pairs  # ethoxzolamide
+        assert ("mesh:C067604", "CHEBI:9921") in pairs  # visnadin
+
+
+class TestGroundNames:
+    def test_salting_is_semantically_invariant(self, spark):
+        names = spark.createDataFrame(
+            [("doid", str(i), n) for i, n in enumerate(
+                ["alpha tocopherol", "valencene", "xanthan gum", "aspirin", "nothing here"]
+            )],
+            "prefix string, identifier string, name string",
+        )
+        index = _labels(spark)
+        plain = {tuple(r) for r in ground_names(names, index, salt=0).collect()}
+        salted = {tuple(r) for r in ground_names(names, index, salt=8).collect()}
+        assert plain == salted
+        assert plain  # non-empty
+
+    def test_cutoff_applies(self, spark):
+        names = spark.createDataFrame(
+            [("doid", "1", "alpha tocopherol")], "prefix string, identifier string, name string"
+        )
+        high = ground_names(names, _labels(spark), cutoff=0.99).collect()
+        assert all(r["confidence"] >= 0.99 for r in high)
+
+
+class TestMentionDetection:
+    def test_ac_and_ngram_paths_agree(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("d1", "we like alpha tocopherol and xanthan gum a lot"),
+                ("d2", "valencene valencene glyoxime"),
+                ("d3", "nothing relevant"),
+            ],
+            "doc_id string, text string",
+        )
+        index = _labels(spark)
+        ac = {
+            (r["doc_id"], r["surface"], r["object_id"])
+            for r in annotate_mentions(docs, index, id_col="doc_id", text_col="text").collect()
+        }
+        ng = {
+            (r["doc_id"], r["surface"], r["object_id"])
+            for r in mention_candidates_ngram(docs, index, id_col="doc_id").collect()
+        }
+        assert ac == ng
+        assert ("d2", "glyoxime", "CHEBI:131408") in ac
+
+    def test_token_boundary_matching(self, spark):
+        # "rna" must not fire inside "internal"
+        docs = spark.createDataFrame(
+            [("d1", "internal only"), ("d2", "rna here")], "doc_id string, text string"
+        )
+        index = spark.createDataFrame(
+            [("ns", "1", "rna", "rna")],
+            "prefix string, identifier string, name string, norm_text string",
+        )
+        got = annotate_mentions(docs, index, id_col="doc_id", text_col="text").collect()
+        assert {r["doc_id"] for r in got} == {"d2"}
+
+    def test_partition_invariance(self, spark):
+        docs = spark.createDataFrame(
+            [(f"d{i}", "alpha tocopherol and valencene") for i in range(40)],
+            "doc_id string, text string",
+        )
+        index = _labels(spark)
+        one = annotate_mentions(docs.coalesce(1), index, id_col="doc_id", text_col="text")
+        many = annotate_mentions(docs.repartition(16), index, id_col="doc_id", text_col="text")
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+    def test_mentions_preserve_orientation(self, spark):
+        # subject=source/doc, object=index hit (predict/lexical.py FIXME at
+        # :251: asymmetric scoring orientation must be preserved)
+        docs = spark.createDataFrame([("d1", "ethoxzolamide")], "doc_id string, text string")
+        got = annotate_mentions(docs, _labels(spark), id_col="doc_id", text_col="text").collect()
+        objs = {r["object_id"] for r in got}
+        assert objs == {"CHEBI:101096", "mesh:C523270"}

@@ -1,0 +1,130 @@
+"""SSSOM TSV IO: golden byte-exact merge output + read round-trip.
+
+Golden content mirrors the reference's merge fixture
+(/root/reference/tests/test_merge.py:87-105): same rows, same dynamic
+column set, same canonical sort, same metadata header shape.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.export.merge import merge_to_tsv, standardize_frame
+from sssom_curator_spark.io.sssom_tsv import read_sssom_tsv, write_sssom_tsv
+from sssom_curator_spark.operators.relational import merge_repository
+from sssom_curator_spark.schema import STATUSES
+from sssom_curator_spark.sources.fixtures import PREFIX_MAP, seed_repository
+
+MAPPING_SET_ID = "https://example.org/ms/merged.sssom.tsv"
+
+GOLDEN_MERGED = """#curie_map:
+#  CHEBI: http://purl.obolibrary.org/obo/CHEBI_
+#  mesh: http://id.nlm.nih.gov/mesh/
+#  orcid: https://orcid.org/
+#  semapv: https://w3id.org/semapv/vocab/
+#  skos: http://www.w3.org/2004/02/skos/core#
+#  wikidata: http://www.wikidata.org/entity/
+#license: https://creativecommons.org/publicdomain/zero/1.0/
+#mapping_set_id: https://example.org/ms/merged.sssom.tsv
+#mapping_set_title: test
+subject_id\tsubject_label\tpredicate_id\tpredicate_modifier\tobject_id\tobject_label\tmapping_justification\tauthor_id\treviewer_id\tmapping_tool\tmapping_tool_id\tmapping_tool_version\tmapping_date\treview_date\tconfidence\treviewer_agreement
+CHEBI:10057\t9H-xanthene\tskos:exactMatch\tNot\tmesh:C002563\txanthan gum\tsemapv:ManualMappingCuration\torcid:0000-0003-4423-4370\t\t\t\t\t2026-05-08\t\t1.0\t
+CHEBI:101096\tethoxzolamide\tskos:exactMatch\t\tmesh:C523270\t6-ethoxybenzothiazole-2-sulfonamide\tsemapv:LexicalMatching\t\t\tsssom-curator\twikidata:Q138902949\t0.4.2\t\t\t0.77\t
+CHEBI:11986\t4-fluoro-L-threonine\tskos:exactMatch\t\tmesh:C048271\t4-fluorothreonine\tsemapv:ManualMappingCuration\torcid:0000-0003-4423-4370\t\t\t\t\t2026-05-08\t\t1.0\t
+CHEBI:61700\t(+)-valencene\tskos:exactMatch\t\tmesh:C506706\tvalencene\tsemapv:ManualMappingCuration\t\torcid:0000-0003-4423-4370\t\t\t\t\t2026-05-08\t\t0.0
+"""
+
+
+def _frames(spark):
+    repo = seed_repository(spark)
+    return {s: repo.filter(F.col("status") == s).drop("status") for s in STATUSES}
+
+
+class TestGoldenMerge:
+    def test_merged_tsv_byte_exact(self, spark, tmp_path):
+        out = str(tmp_path / "merged.sssom.tsv")
+        merge_to_tsv(
+            _frames(spark),
+            out,
+            prefix_map=PREFIX_MAP,
+            metadata={
+                "license": "https://creativecommons.org/publicdomain/zero/1.0/",
+                "mapping_set_id": MAPPING_SET_ID,
+                "mapping_set_title": "test",
+            },
+        )
+        with open(out) as fh:
+            assert fh.read().rstrip() == GOLDEN_MERGED.rstrip()
+
+    def test_standardization_chebi_to_upper(self, spark, tmp_path):
+        # tests/test_merge.py:109-133: chebi:10001 standardizes to CHEBI:10001
+        frames = _frames(spark)
+        extra = frames["positive"].limit(1).withColumn(
+            "subject_id", F.lit("chebi:10001")
+        )
+        frames["positive"] = frames["positive"].unionByName(extra)
+        merged = merge_repository(frames)
+        std = standardize_frame(merged, {"chebi": "CHEBI"})
+        subjects = {r["subject_id"] for r in std.select("subject_id").collect()}
+        assert "CHEBI:10001" in subjects
+        assert "chebi:10001" not in subjects
+
+
+class TestRoundTrip:
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "roundtrip.sssom.tsv")
+        repo = seed_repository(spark).drop("status")
+        write_sssom_tsv(repo, path, prefix_map=PREFIX_MAP)
+        back, prefix_map, _meta = read_sssom_tsv(spark, path)
+        assert prefix_map == PREFIX_MAP
+        orig = repo.orderBy("subject_id").collect()
+        got = back.orderBy("subject_id").collect()
+        assert len(orig) == len(got)
+        for o, g in zip(orig, got):
+            for col in ("subject_id", "predicate_id", "object_id", "confidence",
+                        "mapping_justification", "predicate_modifier", "author_id",
+                        "mapping_date"):
+                assert o[col] == g[col], (col, o[col], g[col])
+
+    def test_dynamic_column_pruning(self, spark, tmp_path):
+        # predictions-only file serializes fewer columns (test_init.py:184)
+        path = str(tmp_path / "pred.sssom.tsv")
+        repo = seed_repository(spark)
+        pred = repo.filter(F.col("status") == "predicted").drop("status")
+        cols = write_sssom_tsv(pred, path, prefix_map=PREFIX_MAP)
+        assert "author_id" not in cols  # empty for predictions
+        assert "predicate_modifier" not in cols
+        assert "confidence" in cols
+        assert "mapping_tool" in cols
+
+    def test_exclude_mappings_anti_join(self, spark, tmp_path):
+        # J5 zombie removal: curated rows disappear from the written file
+        path = str(tmp_path / "excl.sssom.tsv")
+        repo = seed_repository(spark)
+        pred = repo.filter(F.col("status") == "predicted").drop("status")
+        write_sssom_tsv(pred, path, prefix_map=PREFIX_MAP, exclude_mappings=pred)
+        back, _, _ = read_sssom_tsv(spark, path)
+        assert back.count() == 0
+
+    def test_write_sorted_dedup(self, spark, tmp_path):
+        path = str(tmp_path / "dedup.sssom.tsv")
+        repo = seed_repository(spark).drop("status")
+        doubled = repo.unionByName(repo)
+        write_sssom_tsv(doubled, path, prefix_map=PREFIX_MAP)
+        back, _, _ = read_sssom_tsv(spark, path)
+        assert back.count() == repo.count()
+        subjects = [r["subject_id"] for r in back.collect()]
+        assert subjects == sorted(subjects)
+
+
+class TestCurationDateStamp:
+    def test_date_formats_iso(self):
+        from sssom_curator_spark.io.sssom_tsv import _format_cell
+
+        assert _format_cell(datetime.date(2026, 5, 8)) == "2026-05-08"
+        assert _format_cell(1.0) == "1.0"
+        assert _format_cell(0.77) == "0.77"
+        assert _format_cell(["a", "b"]) == "a|b"
+        assert _format_cell(None) == ""

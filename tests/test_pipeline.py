@@ -1,0 +1,154 @@
+"""End-to-end KG pipeline: planted-truth P/R ≥ 0.95 (north rule), snapshot
+resume, lineage metrics, integrity suite, summaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.checkpoint import SnapshotStore
+from sssom_curator_spark.export.summary import (
+    component_stats,
+    incomplete_components,
+    summarize,
+    unstable_components,
+)
+from sssom_curator_spark.pipeline import KGConfig, build_kg
+from sssom_curator_spark.sources.fixtures import (
+    PREFIX_MAP,
+    seed_labels,
+    seed_repository,
+    seed_xrefs,
+)
+from sssom_curator_spark.sources.pages import generate_pages
+from sssom_curator_spark.testing import run_integrity_suite
+
+#: ground truth: cross-namespace label pairs planted in seed_labels whose
+#: normalized names collide (subject = later-sorted CURIE, per J3 golden
+#: orientation); the ethoxzolamide pair is excluded by the xref fixture.
+EXPECTED_WITH_XREFS = {
+    ("mesh:D024502", "CHEBI:18145"),  # alpha tocopherol
+    ("mesh:C002563", "CHEBI:28499"),  # xanthan gum
+    ("mesh:C067604", "CHEBI:9921"),  # visnadin
+}
+
+
+class TestEndToEnd:
+    def test_precision_recall_against_planted_truth(self, spark):
+        out = build_kg(
+            spark,
+            generate_pages(spark, 250),
+            seed_labels(spark),
+            xrefs=seed_xrefs(spark),
+        )
+        got = {
+            (r["subject_id"], r["object_id"])
+            for r in out["mappings"].select("subject_id", "object_id").collect()
+        }
+        tp = len(got & EXPECTED_WITH_XREFS)
+        precision = tp / len(got) if got else 0.0
+        recall = tp / len(EXPECTED_WITH_XREFS)
+        assert precision >= 0.95, (precision, got)
+        assert recall >= 0.95, (recall, got)
+
+    def test_components_canonicalize_pairs(self, spark):
+        out = build_kg(spark, generate_pages(spark, 200), seed_labels(spark))
+        comps = {r["node"]: r["component"] for r in out["components"].collect()}
+        # both sides of every accepted mapping share a representative
+        for r in out["mappings"].collect():
+            assert comps[r["subject_id"]] == comps[r["object_id"]]
+
+    def test_metrics_emitted_per_stage(self, spark):
+        out = build_kg(spark, generate_pages(spark, 150), seed_labels(spark))
+        out["mappings"].count()  # run the DAG
+        stages = {r["stage"] for r in out["_registry"].frame().collect()}
+        assert {"filter", "extract", "mention", "predict"} <= stages
+        rows = out["_registry"].frame().collect()
+        assert all(r["wall_ms"] >= 0 for r in rows)
+        assert all(r["partition_id"] >= 0 for r in rows)
+
+    def test_snapshot_resume_skips_recompute(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "snaps"))
+        first = build_kg(
+            spark, generate_pages(spark, 150), seed_labels(spark), snapshots=store
+        )
+        n1 = first["mappings"].count()
+        assert store.has("predictions")
+        # resume: same store, pages argument ignored for checkpointed stages
+        second = build_kg(
+            spark, generate_pages(spark, 150), seed_labels(spark), snapshots=store
+        )
+        assert second["mappings"].count() == n1
+
+    def test_confidence_cutoff_respected(self, spark):
+        out = build_kg(
+            spark,
+            generate_pages(spark, 150),
+            seed_labels(spark),
+            config=KGConfig(confidence_cutoff=0.65),
+        )
+        rows = out["mappings"].select("confidence").collect()
+        assert all(r["confidence"] >= 0.65 for r in rows)
+
+
+class TestIntegritySuite:
+    def test_seed_repository_clean(self, spark):
+        repo = seed_repository(spark)
+        results = run_integrity_suite(repo, PREFIX_MAP)
+        assert results == {k: 0 for k in results}
+
+    def test_violations_detected(self, spark):
+        repo = seed_repository(spark)
+        bad = repo.withColumn("mapping_justification", F.lit("notsemapv:Nope"))
+        results = run_integrity_suite(repo.unionByName(bad), PREFIX_MAP)
+        assert results["justification_vocab"] > 0
+        assert results["redundancy"] > 0  # same tuples in multiple states now
+
+
+class TestSummaries:
+    def test_summarize_shape(self, spark):
+        out = summarize(seed_repository(spark))
+        assert set(out["files"]) == {"positive", "negative", "predicted", "unsure"}
+        assert out["files"]["positive"]["mapping_count"] == 1
+        assert out["files"]["positive"]["prefix_pairs"] == {"CHEBI-mesh": 1}
+        assert out["contributors"] == {"orcid:0000-0003-4423-4370": 2}
+
+    def test_component_stats_density(self, spark):
+        repo = seed_repository(spark)
+        stats = component_stats(repo).collect()
+        # one positive edge → one 2-node component with density 1
+        assert len(stats) == 1
+        assert stats[0]["n_nodes"] == 2
+        assert stats[0]["n_edges"] == 1
+        assert stats[0]["density"] == 1.0
+        assert stats[0]["n_prefixes"] == 2
+
+    def test_unstable_and_incomplete(self, spark):
+        import datetime
+
+        from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+        def row(s, o, status, modifier=None):
+            base = {f.name: None for f in MAPPING_SCHEMA.fields}
+            base.update(
+                subject_id=s,
+                predicate_id="skos:exactMatch",
+                object_id=o,
+                mapping_justification="semapv:ManualMappingCuration",
+                predicate_modifier=modifier,
+                status=status,
+                mapping_date=datetime.date(2026, 1, 1),
+            )
+            return base
+
+        repo = seed_repository(spark).sparkSession.createDataFrame(
+            [
+                row("a:1", "b:1", "positive"),
+                row("b:1", "c:1", "positive"),
+                row("a:1", "c:1", "negative", "Not"),  # contradiction inside comp
+            ],
+            MAPPING_SCHEMA,
+        )
+        unstable = unstable_components(repo).collect()
+        assert len(unstable) == 1
+        missing = {(r["u"], r["v"]) for r in incomplete_components(repo).collect()}
+        assert missing == {("a:1", "c:1")}  # triangle incomplete
