@@ -260,7 +260,9 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return connected_components(edges)
+    # small_graph_threshold=0: exercise the distributed large-star/small-star
+    # path against the recursive-CTE oracle (the fast path is tested in pytest)
+    return connected_components(edges, small_graph_threshold=0)
 
 
 def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,12 +77,40 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+    """Small-graph fast path: plain union-find on collected edges."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict[str, list[str]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out = []
+    for group in members.values():
+        rep = min(group)
+        out.extend((node, rep) for node in group)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     *,
     max_iterations: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node with its component representative.
 
@@ -90,11 +118,24 @@ def connected_components(
     Output: ``(node:string, component:string)`` covering every endpoint,
     where ``component`` is the lexicographically smallest CURIE in the
     node's component.
+
+    Edge sets under ``small_graph_threshold`` collect to the driver and run
+    plain union-find — the same local-relation shortcut Catalyst applies to
+    tiny inputs; the iterative distributed algorithm only pays off past
+    memory scale. Output is identical either way (both pick the min-CURIE
+    representative).
     """
     spark = edges.sparkSession
     pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
+    if small_graph_threshold > 0:
+        sample = pairs.limit(small_graph_threshold + 1).collect()
+        if len(sample) <= small_graph_threshold:
+            labeled = _driver_union_find([(r["a"], r["b"]) for r in sample])
+            return spark.createDataFrame(
+                labeled or [("__none__", "__none__")], "node string, component string"
+            ).filter(F.col("node") != "__none__")
     nodes = (
         pairs.select(F.col("a").alias("curie"))
         .union(pairs.select("b"))

@@ -92,11 +92,17 @@ def build_kg(
     cfg = config or KGConfig()
     reg = metrics or MetricsRegistry(spark)
 
-    def stage(name: str, compute):
+    def stage(name: str, compute, *, reused: bool = False):
+        """Checkpoint via the snapshot store when present; otherwise persist
+        stages that downstream consumers read more than once (``reused``) so
+        one pipeline action never recomputes the mention scan N times."""
         if snapshots is not None:
             frame, _ = snapshots.resume_or_compute(name, compute)
             return frame
-        return compute()
+        frame = compute()
+        if reused:
+            frame = frame.persist()
+        return frame
 
     # 1. filter ------------------------------------------------------------
     def compute_filtered() -> DataFrame:
@@ -116,7 +122,7 @@ def build_kg(
             ext = ext.filter(F.col("extracted_text").eqNullSafe(F.col("text")))
         return reg.instrument(ext.select("url", "warc_ts", "extracted_text", "lang"), "extract")
 
-    extracted = stage("extracted_pages", compute_extracted)
+    extracted = stage("extracted_pages", compute_extracted, reused=True)
 
     # 3. mention -----------------------------------------------------------
     def compute_mentions() -> DataFrame:
@@ -125,7 +131,7 @@ def build_kg(
         )
         return reg.instrument(m, "mention")
 
-    mentions = stage("mentions", compute_mentions)
+    mentions = stage("mentions", compute_mentions, reused=True)
 
     # 4. evidence ----------------------------------------------------------
     def compute_evidence() -> DataFrame:
@@ -169,7 +175,7 @@ def build_kg(
             out = exclude_existing_xrefs(out, xrefs)
         return reg.instrument(out, "exclude")
 
-    accepted = stage("accepted_predictions", compute_excluded)
+    accepted = stage("accepted_predictions", compute_excluded, reused=True)
 
     # 7. canonicalize ------------------------------------------------------
     def compute_components() -> DataFrame:

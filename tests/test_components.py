@@ -50,8 +50,15 @@ class TestConnectedComponents:
         edges = [(f"n{rng.randrange(250)}", f"n{rng.randrange(250)}") for _ in range(300)]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "src string, dst string")
-        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        # force the distributed large-star/small-star path
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, small_graph_threshold=0).collect()
+        }
         assert got == _union_find_oracle(edges)
+        # fast path must agree exactly
+        fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert fast == got
 
     def test_partition_invariance(self, spark):
         rng = random.Random(5)
@@ -67,7 +74,10 @@ class TestConnectedComponents:
         # O(log n) rounds must close a 200-node path within max_iterations
         edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(200)]
         df = spark.createDataFrame(edges, "src string, dst string")
-        got = {r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["component"]
+            for r in connected_components(df, small_graph_threshold=0).collect()
+        }
         assert got == {"c000"}
 
 
