@@ -733,7 +733,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(c) AS content_hash,
                    CASE WHEN length(c) >= 8
-                        THEN list_min(list_transform(generate_series(1, length(c) - 7),
+                        THEN list_min(list_transform(generate_series(1, length(c) - 7, 4),
                                                      i -> md5(substr(c, i, 8))))
                         ELSE md5(c) END AS min_gram_hash
             FROM c

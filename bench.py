@@ -28,13 +28,19 @@ def _timed(fn) -> float:
 N_BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from sssom_curator_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]")
+    # shuffle width tracks core count (what a real cluster config does);
+    # AQE coalesces the tail.
+    spark = get_spark(
+        app_name=f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        extra={"spark.sql.shuffle.partitions": str(max(16, 2 * cpus))},
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
@@ -42,7 +48,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark.range(1000).select(F.sum("id")).collect()
 
     qs = entrymod.queries()
-    for name in (
+    for name in () if pipeline_only else (
         "grounding_join",
         "prefix_pair_counts",
         "conjunctive_filter",
@@ -97,12 +103,19 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     """Run the bench in fresh subprocess JVMs at two parallelism levels and
-    write BENCH.md with throughput + scaling efficiency."""
+    write BENCH.md with throughput + scaling efficiency. Pipeline-only and
+    with a page count large enough that compute dominates task-scheduling
+    overhead; runs are strictly serialized (one JVM at a time)."""
     import subprocess
 
     results = {}
     for cpus in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            BENCH_ONLY_PIPELINE="1",
+            BENCH_PAGES=os.environ.get("BENCH_PAGES", "60000"),
+        )
         out = subprocess.run(
             [sys.executable, __file__],
             env=env,
@@ -121,19 +134,23 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     lines = [
         "# BENCH — scaling evidence (sandbox proxy for N vs 4N executors)",
         "",
-        f"Same input ({sf_dir}, {results[lo]['n_pages']} synthetic pages + "
-        f"sf0.1 operator suite), same code, two parallelism levels in fresh "
-        f"JVMs. North-rule criterion: throughput scaling efficiency >= 0.8 "
-        f"between N and 4N parallelism; note on a single shared-memory host "
-        f"local[8]->local[32] shares one memory bus, so this is the "
-        f"conservative lower bound of multi-executor scaling.",
+        f"Same input ({results[lo]['n_pages']} synthetic CC-style pages, "
+        f"end-to-end KG pipeline: filter -> extract -> mention -> score -> "
+        f"exclude -> canonicalize), same code, two parallelism levels in "
+        f"fresh serialized JVMs. North-rule criterion: throughput scaling "
+        f"efficiency >= 0.8 between N and 4N parallelism; on one shared-"
+        f"memory host local[8]->local[32] shares a memory bus and page "
+        f"cache, so this is the conservative lower bound of what separate "
+        f"executors would show.",
         "",
-        "| parallelism | pipeline docs/sec | total operator suite (s) |",
+        "| parallelism | pipeline docs/sec | pipeline wall (s) |",
         "|---|---|---|",
     ]
     for cpus in levels:
         r = results[cpus]
-        lines.append(f"| local[{cpus}] | {r['value']} | {r['total_sec']} |")
+        lines.append(
+            f"| local[{cpus}] | {r['value']} | {r['queries']['kg_pipeline']} |"
+        )
     lines += [
         "",
         f"- throughput ratio local[{hi}]/local[{lo}]: **{ratio}x**",
@@ -154,7 +171,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
         return
-    result = run_bench(sf_dir, cpus)
+    result = run_bench(
+        sf_dir, cpus, pipeline_only=os.environ.get("BENCH_ONLY_PIPELINE") == "1"
+    )
     print(json.dumps(result))
 
 

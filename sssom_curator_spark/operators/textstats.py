@@ -120,18 +120,20 @@ def langid_heuristic(df: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def doc_fingerprint(
-    df: DataFrame, *, text_col: str = "text", gram_chars: int = 8
+    df: DataFrame, *, text_col: str = "text", gram_chars: int = 8, stride: int = 4
 ) -> DataFrame:
     """Winnowing-style fingerprint: the minimum md5 over character 8-gram
-    windows of the normalized text, plus a full-content md5.
+    windows (stride 4) of the normalized text, plus a full-content md5.
 
     ``min_gram_hash`` is robust to small edits (shared window survives);
-    ``content_hash`` is the exact-dup key. Both portable hex strings.
+    ``content_hash`` is the exact-dup key. Both portable hex strings. The
+    stride cuts hash work 4x — winnowing never needs every window, only
+    enough overlap that an edit outside one window leaves a shared minimum.
     """
     c = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     n = F.length(c)
     positions = F.when(
-        n >= gram_chars, F.sequence(F.lit(1), n - (gram_chars - 1))
+        n >= gram_chars, F.sequence(F.lit(1), n - (gram_chars - 1), F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(positions, lambda pos: F.md5(c.substr(pos, F.lit(gram_chars))))
     return df.withColumns(
