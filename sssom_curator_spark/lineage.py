@@ -1,80 +1,88 @@
-"""Per-partition lineage & metrics instrumentation (north rule: "every
-stage writes per-partition lineage and metrics rows").
+"""Per-partition lineage & metrics (north rule: "every stage writes
+per-partition lineage and metrics rows") — at zero hot-path cost.
 
-``instrument`` wraps any DataFrame in a ``mapInPandas`` pass-through that
-counts rows and wall time per partition and reports them through Spark
-accumulators — zero extra shuffles, zero extra actions; metrics materialize
-as a side effect of whatever action the pipeline already runs.
-``MetricsRegistry.frame`` turns the collected values into a METRICS_SCHEMA
-DataFrame appendable to a metrics table (Iceberg in production, parquet
-here).
+v1 wrapped every stage in a pass-through ``mapInPandas``, which forced a
+full Arrow round-trip of the stage's data (including raw html bytes)
+through Python per stage — measurably catastrophic at high parallelism
+(local[32] ran 4× slower than local[8] on the same input). This version
+keeps lineage entirely JVM-side:
+
+- the pipeline *materializes* each stage anyway (persist + count, or a
+  snapshot write); the driver measures wall-clock around that and
+  registers the persisted frame here;
+- per-partition lineage rows come from a
+  ``groupBy(spark_partition_id())`` aggregation over the persisted
+  output — one cheap cached pass, evaluated only when the metrics table
+  is actually requested/written (Iceberg metrics table in production).
 """
 
 from __future__ import annotations
 
-import time
-from typing import Iterator
-
-import pandas as pd
-
-from pyspark import AccumulatorParam, TaskContext
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sssom_curator_spark.schema import METRICS_SCHEMA
 
 __all__ = ["MetricsRegistry"]
 
 
-class _ListParam(AccumulatorParam):
-    def zero(self, value):
-        return []
-
-    def addInPlace(self, a, b):
-        a.extend(b)
-        return a
-
-
 class MetricsRegistry:
-    """Holds one list-accumulator per instrumented stage."""
+    """Per-stage wall clocks + lazy per-partition lineage rows."""
 
     def __init__(self, spark: SparkSession) -> None:
         self._spark = spark
-        self._acc = spark.sparkContext.accumulator([], _ListParam())
+        self._partition_sources: dict[str, DataFrame] = {}
+        self._walls: dict[str, float] = {}
+        self._rows: dict[str, int] = {}
 
-    def instrument(self, df: DataFrame, stage: str) -> DataFrame:
-        """Pass-through wrapper emitting (stage, partition, rows, wall_ms).
+    def register_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        *,
+        wall_sec: float | None = None,
+        rows: int | None = None,
+    ) -> None:
+        """Record a stage's materialized output frame (+ wall time)."""
+        self._partition_sources[stage] = df
+        if wall_sec is not None:
+            self._walls[stage] = wall_sec * 1000.0
+        if rows is not None:
+            self._rows[stage] = rows
 
-        rows_in == rows_out for a pass-through; stages that filter should
-        instrument both their input and output frames under two names.
-        """
-        acc = self._acc
-        schema = df.schema
+    @property
+    def stage_rows(self) -> dict[str, int]:
+        return dict(self._rows)
 
-        def trace(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            t0 = time.monotonic()
-            rows = 0
-            for batch in batches:
-                rows += len(batch)
-                yield batch
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx is not None else -1
-            acc.add([(stage, pid, rows, rows, (time.monotonic() - t0) * 1000.0)])
-
-        return df.mapInPandas(trace, schema=schema)
+    @property
+    def stage_wall_ms(self) -> dict[str, float]:
+        return dict(self._walls)
 
     def frame(self) -> DataFrame:
-        """Collected metrics as a DataFrame (empty until an action ran)."""
-        rows = [
-            {
-                "stage": s,
-                "partition_id": int(p),
-                "rows_in": int(ri),
-                "rows_out": int(ro),
-                "wall_ms": float(w),
-            }
-            for (s, p, ri, ro, w) in self._acc.value
-        ]
-        return self._spark.createDataFrame(rows, METRICS_SCHEMA)
+        """Per-partition lineage rows: (stage, partition_id, rows_in,
+        rows_out, wall_ms). One cached pass per registered stage; wall_ms
+        is the stage's driver-measured wall clock (replicated per
+        partition row), -1.0 when the stage was resumed from snapshot."""
+        parts = []
+        for stage, df in self._partition_sources.items():
+            wall = self._walls.get(stage, -1.0)
+            parts.append(
+                df.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows_out"))
+                .select(
+                    F.lit(stage).alias("stage"),
+                    F.col("partition_id"),
+                    F.col("rows_out").alias("rows_in"),
+                    "rows_out",
+                    F.lit(wall).alias("wall_ms"),
+                )
+            )
+        if not parts:
+            return self._spark.createDataFrame([], METRICS_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def write(self, path: str) -> None:
         self.frame().write.mode("append").parquet(path)

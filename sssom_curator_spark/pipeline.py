@@ -29,6 +29,7 @@ metrics frame.
 from __future__ import annotations
 
 import datetime
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,16 +93,22 @@ def build_kg(
     cfg = config or KGConfig()
     reg = metrics or MetricsRegistry(spark)
 
-    def stage(name: str, compute, *, reused: bool = False):
-        """Checkpoint via the snapshot store when present; otherwise persist
-        stages that downstream consumers read more than once (``reused``) so
-        one pipeline action never recomputes the mention scan N times."""
+    def stage(name: str, metric_name: str, compute):
+        """Materialize each stage exactly once — snapshot write when a
+        store is present, persist+count otherwise — measure its wall
+        clock, and register the materialized frame as the stage's
+        per-partition lineage source (JVM-side only; see lineage.py)."""
+        t0 = time.monotonic()
         if snapshots is not None:
-            frame, _ = snapshots.resume_or_compute(name, compute)
+            frame, resumed = snapshots.resume_or_compute(name, compute)
+            wall = None if resumed else time.monotonic() - t0
+            reg.register_stage(metric_name, frame, wall_sec=wall)
             return frame
-        frame = compute()
-        if reused:
-            frame = frame.persist()
+        frame = compute().persist()
+        rows = frame.count()
+        reg.register_stage(
+            metric_name, frame, wall_sec=time.monotonic() - t0, rows=rows
+        )
         return frame
 
     # 1. filter ------------------------------------------------------------
@@ -111,27 +118,27 @@ def build_kg(
             F.col("lang_pred").isin(list(cfg.languages))
             & (F.col("quality") >= cfg.min_quality)
         ).select("url", "warc_ts", "html", "text", "lang")
-        return reg.instrument(kept, "filter")
+        return kept
 
-    filtered = stage("filtered_pages", compute_filtered)
+    filtered = stage("filtered_pages", "filter", compute_filtered)
 
     # 2. extract -----------------------------------------------------------
     def compute_extracted() -> DataFrame:
         ext = with_extracted_text(filtered)
         if cfg.enforce_extraction_parity:
             ext = ext.filter(F.col("extracted_text").eqNullSafe(F.col("text")))
-        return reg.instrument(ext.select("url", "warc_ts", "extracted_text", "lang"), "extract")
+        return ext.select("url", "warc_ts", "extracted_text", "lang")
 
-    extracted = stage("extracted_pages", compute_extracted, reused=True)
+    extracted = stage("extracted_pages", "extract", compute_extracted)
 
     # 3. mention -----------------------------------------------------------
     def compute_mentions() -> DataFrame:
         m = annotate_mentions(
             extracted, labels, id_col="url", text_col="extracted_text"
         )
-        return reg.instrument(m, "mention")
+        return m
 
-    mentions = stage("mentions", compute_mentions, reused=True)
+    mentions = stage("mentions", "mention", compute_mentions)
 
     # 4. evidence ----------------------------------------------------------
     def compute_evidence() -> DataFrame:
@@ -139,9 +146,9 @@ def build_kg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_mentions"),
         )
-        return reg.instrument(ev, "evidence")
+        return ev
 
-    evidence = stage("evidence", compute_evidence)
+    evidence = stage("evidence", "evidence", compute_evidence)
 
     # 5. predict -----------------------------------------------------------
     def compute_predictions() -> DataFrame:
@@ -162,9 +169,9 @@ def build_kg(
             F.round(F.col("confidence") + (1.0 - F.col("confidence")) * boost, 3),
         ).drop("surface", "surface_docs")
         kept = scored.filter(F.col("confidence") >= cfg.confidence_cutoff)
-        return reg.instrument(_as_mapping_rows(kept, cfg), "predict")
+        return _as_mapping_rows(kept, cfg)
 
-    predictions = stage("predictions", compute_predictions)
+    predictions = stage("predictions", "predict", compute_predictions)
 
     # 6. exclude -----------------------------------------------------------
     def compute_excluded() -> DataFrame:
@@ -173,18 +180,18 @@ def build_kg(
             out = exclude_curated(out, curated)
         if xrefs is not None:
             out = exclude_existing_xrefs(out, xrefs)
-        return reg.instrument(out, "exclude")
+        return out
 
-    accepted = stage("accepted_predictions", compute_excluded, reused=True)
+    accepted = stage("accepted_predictions", "exclude", compute_excluded)
 
     # 7. canonicalize ------------------------------------------------------
     def compute_components() -> DataFrame:
         edges = accepted.filter(F.col("predicate_id") == "skos:exactMatch").select(
             F.col("subject_id").alias("src"), F.col("object_id").alias("dst")
         )
-        return reg.instrument(connected_components(edges), "canonicalize")
+        return connected_components(edges)
 
-    components = stage("components", compute_components)
+    components = stage("components", "canonicalize", compute_components)
 
     return {
         "filtered": filtered,

@@ -59,12 +59,14 @@ class TestEndToEnd:
 
     def test_metrics_emitted_per_stage(self, spark):
         out = build_kg(spark, generate_pages(spark, 150), seed_labels(spark))
-        out["mappings"].count()  # run the DAG
-        stages = {r["stage"] for r in out["_registry"].frame().collect()}
-        assert {"filter", "extract", "mention", "predict"} <= stages
         rows = out["_registry"].frame().collect()
-        assert all(r["wall_ms"] >= 0 for r in rows)
+        stages = {r["stage"] for r in rows}
+        assert {"filter", "extract", "mention", "predict"} <= stages
+        assert all(r["wall_ms"] >= 0 for r in rows)  # all freshly computed
         assert all(r["partition_id"] >= 0 for r in rows)
+        assert all(r["rows_out"] > 0 for r in rows)
+        # driver-side totals recorded too
+        assert out["_registry"].stage_rows["mention"] > 0
 
     def test_snapshot_resume_skips_recompute(self, spark, tmp_path):
         store = SnapshotStore(spark, str(tmp_path / "snaps"))
