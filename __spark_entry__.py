@@ -448,7 +448,9 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles; 8 post-shuffle partitions keep the many-stage DAG snappy
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     pages = generate_pages(spark, 150)
-    out = build_kg(spark, pages, seed_labels(spark), xrefs=seed_xrefs(spark))
+    out = build_kg(
+        spark, pages, seed_labels(spark), xrefs=seed_xrefs(spark), materialize=False
+    )
     return out["mappings"].select("subject_id", "predicate_id", "object_id", "confidence")
 
 

@@ -26,6 +26,9 @@ def _timed(fn) -> float:
 
 
 N_BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
+# Real Common-Crawl records carry KBs of text; 200-byte toy docs make every
+# stage fixed-overhead-dominated and cannot evidence parallel scaling.
+N_BENCH_SENTENCES = int(os.environ.get("BENCH_SENTENCES", "30"))
 
 
 def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
@@ -73,13 +76,20 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
     from sssom_curator_spark.sources.fixtures import seed_labels, seed_xrefs
     from sssom_curator_spark.sources.pages import generate_pages
 
-    pages = generate_pages(spark, N_BENCH_PAGES).persist()
+    pages = generate_pages(spark, N_BENCH_PAGES, n_sentences=N_BENCH_SENTENCES).persist()
     n_pages = pages.count()
 
     def run_pipeline():
-        out = build_kg(spark, pages, seed_labels(spark, hub_copies=25), xrefs=seed_xrefs(spark))
+        out = build_kg(
+            spark,
+            pages,
+            seed_labels(spark, hub_copies=25),
+            xrefs=seed_xrefs(spark),
+            materialize=False,  # throughput mode: one fused scan, no per-stage caches
+        )
         out["mappings"].write.format("noop").mode("overwrite").save()
         out["components"].write.format("noop").mode("overwrite").save()
+        out["mappings"].unpersist()
 
     pipeline_sec = _timed(run_pipeline)
     timings["kg_pipeline"] = pipeline_sec

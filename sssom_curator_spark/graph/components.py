@@ -132,10 +132,13 @@ def connected_components(
     if small_graph_threshold > 0:
         sample = pairs.limit(small_graph_threshold + 1).collect()
         if len(sample) <= small_graph_threshold:
+            import pandas as pd
+
             labeled = _driver_union_find([(r["a"], r["b"]) for r in sample])
-            return spark.createDataFrame(
-                labeled or [("__none__", "__none__")], "node string, component string"
-            ).filter(F.col("node") != "__none__")
+            # Arrow path: a plain-list createDataFrame would re-evaluate
+            # through pickle python workers on every downstream use.
+            pdf = pd.DataFrame(labeled or [], columns=["node", "component"])
+            return spark.createDataFrame(pdf, "node string, component string")
     nodes = (
         pairs.select(F.col("a").alias("curie"))
         .union(pairs.select("b"))

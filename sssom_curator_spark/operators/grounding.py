@@ -182,11 +182,12 @@ def annotate_mentions(
     scoring gives exact-surface hits confidence ≈ max.
     """
     spark = docs.sparkSession
-    patterns = [
-        r["norm_text"]
-        for r in index.select("norm_text").distinct().collect()
-        if r["norm_text"]
-    ]
+    # dedupe driver-side: a distinct() here would shuffle a 40-row dim over
+    # the full shuffle width for nothing; sorted() keeps the automaton build
+    # order (and thus tie-breaking) deterministic.
+    patterns = sorted(
+        {r["norm_text"] for r in index.select("norm_text").collect() if r["norm_text"]}
+    )
     bc = spark.sparkContext.broadcast(patterns)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

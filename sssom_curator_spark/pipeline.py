@@ -89,20 +89,36 @@ def build_kg(
     config: KGConfig | None = None,
     snapshots: SnapshotStore | None = None,
     metrics: MetricsRegistry | None = None,
+    materialize: bool | None = None,
 ) -> dict[str, DataFrame]:
+    """Build the KG-construction DAG over ``pages``.
+
+    ``materialize`` picks the execution shape:
+
+    - ``True`` (default): every stage is materialized exactly once
+      (snapshot write when a store is present, persist+count otherwise)
+      with wall-clock + per-partition lineage recorded — the resumable
+      production mode (north rule: checkpoints, lineage, metrics).
+    - ``False``: stages compose lazily and Catalyst fuses
+      filter → extract → mention into a single pass over ``pages`` (one
+      scan, map-side pipelined; only the final ``mappings`` frame is
+      persisted because two outputs consume it). This is the throughput
+      mode — at 100 TB you do not cache intermediate page-sized frames.
+    """
     cfg = config or KGConfig()
     reg = metrics or MetricsRegistry(spark)
+    eager = materialize if materialize is not None else True
 
     def stage(name: str, metric_name: str, compute):
-        """Materialize each stage exactly once — snapshot write when a
-        store is present, persist+count otherwise — measure its wall
-        clock, and register the materialized frame as the stage's
-        per-partition lineage source (JVM-side only; see lineage.py)."""
         t0 = time.monotonic()
         if snapshots is not None:
             frame, resumed = snapshots.resume_or_compute(name, compute)
             wall = None if resumed else time.monotonic() - t0
             reg.register_stage(metric_name, frame, wall_sec=wall)
+            return frame
+        if not eager:
+            frame = compute()
+            reg.register_stage(metric_name, frame)
             return frame
         frame = compute().persist()
         rows = frame.count()
@@ -183,6 +199,10 @@ def build_kg(
         return out
 
     accepted = stage("accepted_predictions", "exclude", compute_excluded)
+    if not eager and snapshots is None:
+        # the one frame two outputs consume (mappings sink + CC edges);
+        # it is prediction-sized (small), never page-sized.
+        accepted = accepted.persist()
 
     # 7. canonicalize ------------------------------------------------------
     def compute_components() -> DataFrame:

@@ -68,8 +68,18 @@ def generate_pages(
     hub_label: str = HUB_LABEL,
     mention_rate_pct: int = 50,
     hub_rate_pct: int = 10,
+    n_sentences: int = 3,
+    words_per_sentence: int = 8,
 ) -> DataFrame:
-    """Build the pages DataFrame; deterministic in ``n`` only."""
+    """Build the pages DataFrame; deterministic in the parameters only.
+
+    ``n_sentences`` sizes the document body. Tests use the small default;
+    the scaling benchmark generates realistically-sized pages (real CC
+    records carry KBs of text, and an overhead-dominated 200-byte corpus
+    cannot evidence parallel scaling). Sentences are built with
+    ``transform``/``sequence`` higher-order functions so the expression
+    tree stays O(1) in document length.
+    """
     labels = labels or DEFAULT_LABELS
     base = spark.range(n).select(F.col("id").alias("i"))
 
@@ -85,18 +95,29 @@ def generate_pages(
     )
     df = base.withColumn("lang", lang)
 
-    # body: 3 sentences × 8 words from the language vocabulary
-    def sentence(sent_idx: int) -> Column:
-        words = []
-        for w in range(8):
-            pos_hash = h(100 + sent_idx * 8 + w)
-            word = (
-                F.when(F.col("lang") == "en", _pick(F.array(*map(F.lit, VOCAB["en"])), pos_hash))
-                .when(F.col("lang") == "de", _pick(F.array(*map(F.lit, VOCAB["de"])), pos_hash))
-                .otherwise(_pick(F.array(*map(F.lit, VOCAB["es"])), pos_hash))
-            )
-            words.append(word)
-        return F.concat_ws(" ", *words)
+    # per-language vocabulary array, resolved once per row
+    vocab = (
+        F.when(F.col("lang") == "en", F.array(*map(F.lit, VOCAB["en"])))
+        .when(F.col("lang") == "de", F.array(*map(F.lit, VOCAB["de"])))
+        .otherwise(F.array(*map(F.lit, VOCAB["es"])))
+    )
+    df = df.withColumn("_vocab", vocab)
+
+    # body: n_sentences × words_per_sentence words, each picked by a
+    # position-keyed hash — one nested transform, not an unrolled loop.
+    body = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sentences - 1)),
+        lambda s: F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_sentence - 1)),
+                lambda w: _pick(
+                    F.col("_vocab"), F.abs(F.xxhash64(F.col("i"), F.lit(100), s, w))
+                ),
+            ),
+            " ",
+        ),
+    )
+    df = df.withColumn("_body", body)
 
     label_arr = F.array(*map(F.lit, labels))
     mention = F.when(
@@ -106,13 +127,20 @@ def generate_pages(
         mention.isNotNull(), F.concat(F.lit("we discuss "), mention, F.lit(" in detail"))
     )
 
+    # title, first body sentence, the (optional) mention, remaining body
+    rest = (
+        F.slice(F.col("_body"), 2, n_sentences - 1)
+        if n_sentences > 1
+        else F.array().cast("array<string>")
+    )
     lines = F.array_compact(
-        F.array(
-            F.concat(F.lit("Doc "), F.col("i").cast("string")),
-            sentence(0),
-            sentence(1),
-            mention_sentence,
-            sentence(2),
+        F.concat(
+            F.array(
+                F.concat(F.lit("Doc "), F.col("i").cast("string")),
+                F.element_at(F.col("_body"), 1),
+                mention_sentence,
+            ),
+            rest,
         )
     )
     text = F.array_join(lines, "\n")
@@ -138,7 +166,7 @@ def generate_pages(
         F.lit("<!-- tracking --><footer>&copy; example.org</footer>"),
         F.lit("</body></html>"),
     )
-    return df.select(
+    out = df.select(
         F.concat(F.lit("https://example.org/page/"), F.col("i").cast("string")).alias("url"),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
@@ -148,3 +176,15 @@ def generate_pages(
         F.col("text"),
         F.col("lang"),
     )
+    # Identity mapInPandas = a hard stage boundary. Without it, AQE's
+    # logical re-optimization can collapse a downstream scalar pandas UDF
+    # (e.g. the extractor) INTO this generator projection after
+    # ExtractPythonUDFs has already run, leaving an unplannable PythonUDF
+    # inside a plain Project ("Cannot generate code for expression:
+    # _extract(...)" — flaky, repartition-dependent). Real corpora come
+    # from parquet/Iceberg scans, which are natural barriers; the
+    # generator needs an explicit one.
+    def _identity(batches):
+        yield from batches
+
+    return out.mapInPandas(_identity, schema=out.schema)
