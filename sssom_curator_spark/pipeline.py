@@ -200,9 +200,15 @@ def build_kg(
 
     accepted = stage("accepted_predictions", "exclude", compute_excluded)
     if not eager and snapshots is None:
-        # the one frame two outputs consume (mappings sink + CC edges);
-        # it is prediction-sized (small), never page-sized.
+        # the one frame two outputs consume (mappings sink + CC edges); it
+        # is prediction-sized (small), never page-sized. Materialize it
+        # FULLY here: a lazy persist populates the cache only for the
+        # partitions the first consumer touches, and the connected-
+        # components small-graph probe is a limit().collect() — without
+        # the count() the heavy extract/mention chain would re-execute for
+        # the untouched partitions on the next consumer.
         accepted = accepted.persist()
+        accepted.count()
 
     # 7. canonicalize ------------------------------------------------------
     def compute_components() -> DataFrame:

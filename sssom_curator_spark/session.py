@@ -44,10 +44,20 @@ ENGINE_CONFIGS: dict[str, str] = {
     # Local-mode hygiene: the default 1g driver heap OOMs once dozens of
     # AQE query executions + checkpoint blocks accumulate; the UI retains
     # per-execution plan trees we never look at in headless runs.
+    # NOTE: spark.driver.memory here only takes effect under spark-submit;
+    # for builder-launched local JVMs get_spark() sets PYSPARK_SUBMIT_ARGS
+    # (measured: without it the JVM came up with a 2 GB heap regardless).
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.ui.retainedExecutions": "16",
-    "spark.cleaner.periodicGC.interval": "30s",
+    "spark.cleaner.periodicGC.interval": "10min",
+    # Spark's generated whole-stage-codegen methods routinely exceed the
+    # JIT's 8 KB bytecode limit and would otherwise run INTERPRETED
+    # forever (measured: first-run 42-130 s and 2-4x steady-state swings
+    # on the KG pipeline; with the flag, 21 s first run and stable ~11 s
+    # steady state at local[32]).
+    "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
 }
 
 
@@ -63,6 +73,14 @@ def get_spark(
     ``spark-submit`` (where ``master`` is supplied externally and must be
     left ``None``).
     """
+    # Driver heap for builder-launched local JVMs: spark.driver.memory in
+    # the builder conf is NOT honored once the py4j gateway spawns the JVM
+    # (it came up with a 2 GB heap in testing); it must travel through
+    # PYSPARK_SUBMIT_ARGS before the first launch. No-op under
+    # spark-submit (the env var is already set) or if a JVM exists.
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
