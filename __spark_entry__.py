@@ -454,6 +454,107 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["mappings"].select("subject_id", "predicate_id", "object_id", "confidence")
 
 
+def q_contributor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: contributor counter — explode the author array, keep ORCID-
+    prefixed ids, most-common ordering (export/summary.py:83-99 + O3)."""
+    orders = _t(spark, sf_dir, "orders")
+    authors = F.array(
+        F.concat(F.lit("orcid:"), (F.col("o_custkey") % 50).cast("string")),
+        F.concat(F.lit("web:"), (F.col("o_custkey") % 7).cast("string")),
+    )
+    return (
+        orders.select(F.explode(authors).alias("author_id"))
+        .filter(F.substring_index("author_id", ":", 1) == "orcid")
+        .groupBy("author_id")
+        .agg(F.count(F.lit(1)).alias("n_contributions"))
+    )
+
+
+def q_redundancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: cross-file redundancy — canonical key present in more than one
+    file (testing.py:126-159); file = order status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.col("o_custkey") % 100).alias("key_bucket"),
+            F.col("o_orderpriority").alias("key_priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_files"),
+        )
+        .filter(F.col("n_files") > 1)
+    )
+
+
+def q_curie_uri_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: CURIE → URI expansion against the seed prefix map; unmapped
+    prefixes yield null (constants.py:40-69, strict=False Converter)."""
+    from sssom_curator_spark.functions.curie_ops import expand_curie
+    from sssom_curator_spark.sources.fixtures import PREFIX_MAP
+
+    part = _t(spark, sf_dir, "part")
+    curie = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("CHEBI:"), F.col("p_partkey").cast("string")),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit("mesh:C"), F.col("p_partkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("unknown:"), F.col("p_partkey").cast("string")))
+    )
+    df = part.select(curie.alias("curie"))
+    return df.select("curie", expand_curie("curie", PREFIX_MAP).alias("uri"))
+
+
+def q_same_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ``same_text``: case-insensitive label equality between paired
+    rows (web/utils.py:60-76, applied web/backends/memory.py:87-92)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_type").alias("t1"))
+    b = part.select((F.col("p_partkey") - 1).alias("k"), F.col("p_type").alias("t2"))
+    return (
+        a.join(b, on="k")
+        .filter(F.lower("t1") == F.lower("t2"))
+        .select("k", "t1", "t2")
+    )
+
+
+def q_missing_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: complement within a component — node pairs with no existing
+    edge (export/charts.py:92-112). Components = regions; the edge set is
+    consecutive in-region nation keys (stride 5 in the generator)."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("u"))
+    n2 = nation.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("v"))
+    pairs = n1.join(n2, on="r").filter(F.col("u") < F.col("v"))
+    edges = nation.select(
+        F.col("n_regionkey").alias("r"),
+        F.col("n_nationkey").alias("u"),
+        (F.col("n_nationkey") + 5).alias("v"),
+    )
+    return pairs.join(edges, on=["r", "u", "v"], how="left_anti")
+
+
+def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: positive-component pairs probed against the negative edge set
+    (export/charts.py:81-87) — an unstable component holds a pair that a
+    curator marked incorrect."""
+    import pandas as pd
+
+    nation = _t(spark, sf_dir, "nation")
+    neg = spark.createDataFrame(
+        pd.DataFrame([(0, 5), (2, 7), (14, 16), (3, 23)], columns=["u", "v"]),
+        "u long, v long",
+    )
+    n1 = nation.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("u"))
+    n2 = nation.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("v"))
+    pairs = n1.join(n2, on="r").filter(F.col("u") < F.col("v"))
+    return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "prefix_pair_counts": q_prefix_pair_counts,
@@ -487,6 +588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "curation_marks": q_curation_marks,
         "kg_pipeline": q_kg_pipeline,
+        "contributor_counts": q_contributor_counts,
+        "redundancy_report": q_redundancy_report,
+        "curie_uri_expand": q_curie_uri_expand,
+        "same_text_filter": q_same_text_filter,
+        "missing_edges": q_missing_edges,
+        "unstable_components": q_unstable_components,
     }
 
 
@@ -784,5 +891,75 @@ def oracle_sql() -> dict[str, str]:
                         ELSE split_part(curie, ':', 1) END
                    || ':' || substr(curie, length(split_part(curie, ':', 1)) + 2) AS curie_std
             FROM c
+        """,
+        "contributor_counts": """
+            SELECT author_id, count(*) AS n_contributions
+            FROM (
+              SELECT unnest(['orcid:' || CAST(o_custkey % 50 AS VARCHAR),
+                             'web:'   || CAST(o_custkey % 7  AS VARCHAR)]) AS author_id
+              FROM orders
+            )
+            WHERE split_part(author_id, ':', 1) = 'orcid'
+            GROUP BY author_id
+        """,
+        "redundancy_report": """
+            SELECT o_custkey % 100 AS key_bucket,
+                   o_orderpriority AS key_priority,
+                   count(*) AS n_rows,
+                   count(DISTINCT o_orderstatus) AS n_files
+            FROM orders
+            GROUP BY 1, 2
+            HAVING count(DISTINCT o_orderstatus) > 1
+        """,
+        "curie_uri_expand": """
+            WITH c AS (
+              SELECT CASE
+                       WHEN p_partkey % 3 = 0 THEN 'CHEBI:' || CAST(p_partkey AS VARCHAR)
+                       WHEN p_partkey % 3 = 1 THEN 'mesh:C' || CAST(p_partkey AS VARCHAR)
+                       ELSE 'unknown:' || CAST(p_partkey AS VARCHAR)
+                     END AS curie
+              FROM part
+            )
+            SELECT curie,
+                   CASE split_part(curie, ':', 1)
+                     WHEN 'CHEBI' THEN 'http://purl.obolibrary.org/obo/CHEBI_'
+                       || substr(curie, length(split_part(curie, ':', 1)) + 2)
+                     WHEN 'mesh' THEN 'http://id.nlm.nih.gov/mesh/'
+                       || substr(curie, length(split_part(curie, ':', 1)) + 2)
+                     ELSE NULL
+                   END AS uri
+            FROM c
+        """,
+        "same_text_filter": """
+            SELECT a.p_partkey AS k, a.p_type AS t1, b.p_type AS t2
+            FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
+            WHERE lower(a.p_type) = lower(b.p_type)
+        """,
+        "missing_edges": """
+            WITH pairs AS (
+              SELECT n1.n_regionkey AS r, n1.n_nationkey AS u, n2.n_nationkey AS v
+              FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+              WHERE n1.n_nationkey < n2.n_nationkey
+            ),
+            edges AS (
+              SELECT n_regionkey AS r, n_nationkey AS u, n_nationkey + 5 AS v
+              FROM nation
+            )
+            SELECT r, u, v FROM pairs
+            EXCEPT
+            SELECT r, u, v FROM edges
+        """,
+        "unstable_components": """
+            WITH pairs AS (
+              SELECT n1.n_regionkey AS r, n1.n_nationkey AS u, n2.n_nationkey AS v
+              FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+              WHERE n1.n_nationkey < n2.n_nationkey
+            ),
+            neg(u, v) AS (
+              SELECT 0, 5 UNION ALL SELECT 2, 7
+              UNION ALL SELECT 14, 16 UNION ALL SELECT 3, 23
+            )
+            SELECT pairs.r, pairs.u, pairs.v
+            FROM pairs JOIN neg ON pairs.u = neg.u AND pairs.v = neg.v
         """,
     }

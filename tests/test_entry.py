@@ -21,6 +21,12 @@ FAST_QUERIES = [
     "exact_dedup_docs",
     "langid_quality",
     "token_count_bpe",
+    "contributor_counts",
+    "redundancy_report",
+    "curie_uri_expand",
+    "same_text_filter",
+    "missing_edges",
+    "unstable_components",
 ]
 
 
