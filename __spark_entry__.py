@@ -404,42 +404,101 @@ def q_curie_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (no SQL-expressible oracle; driver records row counts)
+# formerly rows-only queries, now hard-checked (round-2 verdict item #2)
 # --------------------------------------------------------------------------
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup/SimHash: 64-bit signatures + banded hamming pairs."""
+    """Dedup/SimHash: 64-bit md5 bit-vote signatures + banded hamming
+    pairs — fully replayed by the DuckDB oracle (same md5 prefix hashes,
+    same 16-bit chunk banding, same bit_count verify)."""
     from sssom_curator_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    out = simhash_near_duplicates(docs, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search: random-hyperplane LSH approximate top-k."""
+    """Similarity search: random-hyperplane LSH approximate top-k — the
+    DuckDB oracle replays the md5-seeded hyperplanes, banded signatures,
+    candidate join, and exact rerank."""
     from sssom_curator_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, id_col="vec_id")
+    out = cosine_topk_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, id_col="vec_id")
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_curation_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C9: curation state machine on the wsgi golden fixture
-    (tests/wsgi_cases.py:199-323)."""
-    from sssom_curator_spark.curation.state import apply_marks
-    from sssom_curator_spark.sources.fixtures import wsgi_repository
+    """C9: curation state machine, ALL FIVE marks (correct/incorrect/
+    unsure/BROAD/NARROW) plus the ineligible-row no-op, differentially
+    checked against a DuckDB CASE replication of the golden transitions
+    (reference wsgi_cases.py:199-323, memory.py:94-153).
 
-    repo = wsgi_repository(spark)
-    marks = repo.filter(F.col("status") == "predicted").select(
-        "record_id", F.lit("correct").alias("mark")
+    Input is constructed from the ``nation`` table identically on both
+    sides: row k is a prediction (status ``positive`` — ineligible — when
+    k % 6 == 5) marked with mark #(k % 6)."""
+    import datetime
+
+    from sssom_curator_spark.curation.state import apply_marks
+    from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    base = nation.select(
+        k.alias("_k"),
+        F.concat(F.lit("CHEBI:"), k.cast("string")).alias("subject_id"),
+        F.lit("skos:exactMatch").alias("predicate_id"),
+        F.concat(F.lit("mesh:C"), k.cast("string")).alias("object_id"),
+        F.lit("semapv:LexicalMatching").alias("mapping_justification"),
+        F.lit(0.9).alias("confidence"),
+        F.lit("test").alias("mapping_tool"),
+        F.when(k % 6 == 5, F.lit("positive"))
+        .otherwise(F.lit("predicted"))
+        .alias("status"),
     )
-    out = apply_marks(repo, marks, author="orcid:0000-0000-0000-0000")
-    return out.select("subject_id", "object_id", "status", "mapping_justification")
+    for f in MAPPING_SCHEMA.fields:
+        if f.name not in base.columns:
+            base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    from sssom_curator_spark.curation.state import with_record_id
+
+    repo = with_record_id(base)
+    mark = F.element_at(
+        F.array(*[F.lit(m) for m in ["correct", "incorrect", "unsure", "BROAD", "NARROW", "correct"]]),
+        (F.col("_k") % 6 + 1).cast("int"),
+    )
+    marks = repo.select(F.col("record_id"), mark.alias("mark"))
+    out = apply_marks(
+        repo.drop("_k"),
+        marks,
+        author="orcid:0000-0000-0000-0000",
+        today=datetime.date(2026, 8, 16),
+    )
+    return out.select(
+        "subject_id",
+        "predicate_id",
+        "predicate_modifier",
+        "mapping_justification",
+        "confidence",
+        "mapping_tool",
+        "status",
+        F.array_join("author_id", ",").alias("author"),
+        F.array_join("reviewer_id", ",").alias("reviewer"),
+        F.col("mapping_date").cast("string").alias("mapping_date_s"),
+        F.col("review_date").cast("string").alias("review_date_s"),
+        "reviewer_agreement",
+    )
 
 
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end north-rule pipeline on deterministic synthetic pages."""
+    """End-to-end north-rule pipeline on deterministic synthetic pages,
+    checked against the hand-derived planted-truth edge set (the seed
+    fixtures are literal rows; all_by_all over them yields exactly three
+    cross-namespace exact-text pairs after the xref anti-join, each at
+    confidence 1.0 — the oracle pins that expected set as VALUES)."""
     from sssom_curator_spark.pipeline import build_kg
     from sssom_curator_spark.sources.fixtures import seed_labels, seed_xrefs
     from sssom_curator_spark.sources.pages import generate_pages
@@ -451,7 +510,14 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = build_kg(
         spark, pages, seed_labels(spark), xrefs=seed_xrefs(spark), materialize=False
     )
-    return out["mappings"].select("subject_id", "predicate_id", "object_id", "confidence")
+    # lazy-mode caller owns the persisted frame: materialize the small
+    # projection, then release the cache (long-lived sessions otherwise
+    # accumulate one cached frame per invocation)
+    result = out["mappings"].select(
+        "subject_id", "predicate_id", "object_id", "confidence"
+    ).localCheckpoint()
+    out["mappings"].unpersist()
+    return result
 
 
 def q_contributor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

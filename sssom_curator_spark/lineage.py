@@ -42,9 +42,20 @@ class MetricsRegistry:
         *,
         wall_sec: float | None = None,
         rows: int | None = None,
+        materialized: bool = True,
     ) -> None:
-        """Record a stage's materialized output frame (+ wall time)."""
-        self._partition_sources[stage] = df
+        """Record a stage's output frame (+ wall time).
+
+        ``materialized=False`` marks a stage that composes lazily (fused
+        into its consumer by Catalyst — throughput mode). Such stages get
+        no per-partition lineage rows: enumerating them from ``frame()``
+        would re-execute the whole unmaterialized upstream DAG once per
+        stage. Per-partition lineage belongs to materialized boundaries
+        (snapshot writes / persisted frames), which is also where it is
+        free to collect.
+        """
+        if materialized:
+            self._partition_sources[stage] = df
         if wall_sec is not None:
             self._walls[stage] = wall_sec * 1000.0
         if rows is not None:

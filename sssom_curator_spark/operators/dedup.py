@@ -10,8 +10,9 @@ web-corpus operators a 100 TB pipeline needs, built Spark-first:
   verified Jaccard. Hashing uses ``md5`` hex *strings* ordered
   lexicographically — portable across engines, so the DuckDB oracle can
   replay the exact pipeline;
-- SimHash: 64-bit signatures from token hashes in an Arrow-batched pandas
-  UDF, near-dup candidates via bit-chunk banding + ``bit_count`` verify;
+- SimHash: 64-bit signatures from md5 token hashes, computed entirely
+  JVM-side (explode distinct tokens → one groupBy with 64 bit-vote sums),
+  near-dup candidates via bit-chunk banding + ``bit_count`` verify;
 - n-gram Jaccard: exact set similarity via explode + equi-join (the
   verification path, and an operator in its own right).
 
@@ -23,14 +24,8 @@ explode factors are bounded (k hashes, b bands, n-per-shingle).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from sssom_curator_spark.functions.text_norm import norm_text_col
 from sssom_curator_spark.operators.textstats import stable_round
@@ -182,16 +177,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     The shingle equi-join prunes the pair space to co-occurring documents
     (inverted-index join) — the exact-but-heavier sibling of MinHash-LSH.
+
+    ``max_shingle_df`` is the hot-key defense for corpus scale: a shingle
+    shared by m documents contributes m² rows to the self-join, and CC
+    boilerplate shingles have m in the millions. With a cap, shingles whose
+    document frequency exceeds it are dropped from the *join* side only
+    (sizes stay exact, so Jaccard is underestimated by at most
+    |capped ∩ pair| / |union| for pairs that share a boilerplate shingle —
+    never overestimated, and exact for non-degenerate pairs). The number
+    of capped shingles is logged — no silent truncation. ``None`` (default)
+    disables the cap: the exact-verification mode the oracle checks.
     """
     sh = shingles(df, id_col=id_col, text_col=text_col, n=shingle_n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    joinable = sh
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        hot = dfreq.filter(F.col("_df") > max_shingle_df)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d shingles with document "
+                "frequency > %d from the candidate join (scores for pairs "
+                "sharing them are lower bounds)",
+                n_hot,
+                max_shingle_df,
+            )
+        joinable = sh.join(hot.select("shingle"), on="shingle", how="left_anti")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -220,45 +242,61 @@ _SIMHASH_BITS = 64
 def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash signature per document, Arrow-batched.
+    """64-bit SimHash signature per document — pure JVM codegen, no Python.
 
-    Token hashes come from the first 16 hex chars of md5 (stable across
-    runs and engines); the signature bit i is the sign of the sum of
-    ±1 votes of all token hashes at bit i — computed as one numpy
-    matrix op per Arrow batch, no per-row Python at the Spark API level.
+    Token hash = first 16 hex chars of ``md5(token)`` (stable across
+    engines — the DuckDB oracle replays it); signature bit i is the sign
+    of the sum of ±1 votes of all distinct-token hashes at bit i.
+
+    Plan shape: explode distinct tokens (one md5 per doc-token row,
+    computed once in a projection), then ONE ``groupBy(doc)`` with 64
+    ``sum`` aggregates (map-side partial — the shuffle carries 64 longs
+    per doc, not the token stream), then a 64-term bit-OR projection.
+    The previous version looped ``hashlib.md5`` per token inside a
+    pandas UDF — the per-row-Python anti-pattern the north rule bans;
+    this one is whole-stage-codegen end to end and scales with the
+    token count, not the Python interpreter.
     """
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.StringType()), T.StructField("simhash", T.LongType())]
-    )
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for batch in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(batch[id_col], batch[text_col]):
-                toks = ("" if text is None else str(text)).lower().split()
-                if not toks:
-                    ids.append(str(doc_id))
-                    sigs.append(0)
-                    continue
-                hs = np.array(
-                    [
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-                        for t in set(toks)
-                    ],
-                    dtype=np.uint64,
+    # tokens: lower + split on whitespace runs, drop empties, distinct —
+    # byte-for-byte the old kernel's `set(text.lower().split())`.
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                    lambda t: t != "",
                 )
-                bits = (hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
-                votes = np.where(bits == 1, 1, -1).sum(axis=0)
-                sig = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(i)
-                ids.append(str(doc_id))
-                sigs.append(int(np.int64(sig)))  # two's-complement into LongType
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+            )
+        ).alias("tok"),
+    )
+    # 64-bit unsigned md5 prefix as a two's-complement long: two 32-bit
+    # halves via conv(hex, 16, 10) (conv output fits a long per half),
+    # recombined with shiftleft — bit pattern identical to
+    # int(md5(t).hexdigest()[:16], 16) as uint64.
+    hexd = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+    hashed = toks.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(one) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            )
+        ).alias(f"v{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(_SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        )
+    return voted.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -70,6 +70,22 @@ def embedding_similarity_join(
     survive — the building block of the brute-force ANN baseline.
     """
     spark = source.sparkSession
+    # Guardrail: the collect below is correct-by-design only while the
+    # target is dimension-sized (an ontology's embedding table). A
+    # corpus-sized target would OOM the *driver* — fail fast with a
+    # pointer at the scale path instead.
+    limit = int(
+        spark.conf.get("spark.sssom.embedding.maxBroadcastTargetRows", "2000000")
+    )
+    over = target.select(id_col).limit(limit + 1).count()
+    if over > limit:
+        raise ValueError(
+            f"embedding_similarity_join target exceeds {limit} rows; it is "
+            "collected to the driver and broadcast. For corpus-sized targets "
+            "use operators.similarity.cosine_topk_lsh (bucketed, never n²) "
+            "or cosine_topk_exact. Raise "
+            "spark.sssom.embedding.maxBroadcastTargetRows to override."
+        )
     rows = target.select(id_col, vec_col).collect()
     t_ids = np.array([r[id_col] for r in rows], dtype=object)
     t_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)

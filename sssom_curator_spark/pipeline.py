@@ -32,19 +32,26 @@ import datetime
 import time
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sssom_curator_spark.checkpoint import SnapshotStore
 from sssom_curator_spark.curation.state import with_record_id
 from sssom_curator_spark.extract import with_extracted_text
+from sssom_curator_spark.functions.scoring import score_match_batch
+from sssom_curator_spark.functions.text_norm import norm_text_col
 from sssom_curator_spark.graph.components import connected_components
 from sssom_curator_spark.lineage import MetricsRegistry
 from sssom_curator_spark.operators.grounding import all_by_all, annotate_mentions
 from sssom_curator_spark.operators.relational import (
     exclude_curated,
     exclude_existing_xrefs,
+    exclude_same_component,
 )
+from sssom_curator_spark.operators.similarity import cosine_sim_col
 from sssom_curator_spark.operators.textstats import langid_heuristic, quality_score
 from sssom_curator_spark.schema import MAPPING_SCHEMA
 
@@ -61,6 +68,9 @@ class KGConfig:
     mapping_tool_version: str = "0.1.0"
     mapping_date: datetime.date = datetime.date(2026, 8, 16)
     enforce_extraction_parity: bool = False
+    #: J7 (predict/lexical.py:341-456): drop predictions whose endpoints are
+    #: already transitively connected in the curated mapping graph.
+    exclude_connected: bool = True
 
 
 def _as_mapping_rows(df: DataFrame, cfg: KGConfig) -> DataFrame:
@@ -77,6 +87,55 @@ def _as_mapping_rows(df: DataFrame, cfg: KGConfig) -> DataFrame:
         .withColumn("status", F.lit("predicted"))
     )
     return with_record_id(out.select(*[f.name for f in MAPPING_SCHEMA.fields]))
+
+
+def _with_embedding_confidence(cand: DataFrame, labels: DataFrame) -> DataFrame:
+    """Combined lexical+embedding confidence (SURVEY.md §7 step 5).
+
+    When the label index carries an ``embedding`` column, each candidate
+    side's vector is attached by CURIE via a broadcast equi-join (the
+    index is dimension-sized — the same assumption under which
+    ``annotate_mentions`` broadcasts it), the pair cosine is computed
+    JVM-side (``zip_with`` codegen, no Python), and confidence is
+    rescored with the logistic feature scorer with the cosine feature
+    active (reference weights: functions/scoring.py SCORING_WEIGHTS;
+    the reference combines gilda's lexical score with embedding cosine
+    in predict/embedding.py:106-161).
+    """
+    # one vector per CURIE, deterministic pick (synonym rows share a CURIE)
+    emb = (
+        labels.filter(F.col("embedding").isNotNull())
+        .select(
+            F.concat_ws(":", "prefix", "identifier").alias("_curie"),
+            F.col("name").alias("_name"),
+            F.col("embedding").alias("_vec"),
+        )
+        .groupBy("_curie")
+        .agg(F.min_by("_vec", "_name").alias("_vec"))
+    )
+    s = emb.select(F.col("_curie").alias("_s_curie"), F.col("_vec").alias("_s_vec"))
+    o = emb.select(F.col("_curie").alias("_o_curie"), F.col("_vec").alias("_o_vec"))
+    withv = cand.join(
+        F.broadcast(s), cand["subject_id"] == F.col("_s_curie"), "left"
+    ).join(F.broadcast(o), F.col("object_id") == F.col("_o_curie"), "left")
+    cos = F.when(
+        F.col("_s_vec").isNotNull() & F.col("_o_vec").isNotNull(),
+        cosine_sim_col(F.col("_s_vec"), F.col("_o_vec")),
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(subject_norm: pd.Series, object_norm: pd.Series, cosine: pd.Series) -> pd.Series:
+        return score_match_batch(subject_norm, object_norm, cosine)
+
+    return (
+        withv.withColumn(
+            "confidence",
+            _score(
+                norm_text_col("subject_label"), norm_text_col("object_label"), cos
+            ),
+        )
+        .drop("_s_curie", "_s_vec", "_o_curie", "_o_vec")
+    )
 
 
 def build_kg(
@@ -104,6 +163,10 @@ def build_kg(
       scan, map-side pipelined; only the final ``mappings`` frame is
       persisted because two outputs consume it). This is the throughput
       mode — at 100 TB you do not cache intermediate page-sized frames.
+      **Lazy-mode callers own unpersisting ``out["mappings"]``** once
+      they are done with the outputs; build_kg cannot know when the last
+      consumer has run. Lazy stages are registered without per-partition
+      lineage (see :meth:`MetricsRegistry.register_stage`).
     """
     cfg = config or KGConfig()
     reg = metrics or MetricsRegistry(spark)
@@ -118,7 +181,7 @@ def build_kg(
             return frame
         if not eager:
             frame = compute()
-            reg.register_stage(metric_name, frame)
+            reg.register_stage(metric_name, frame, materialized=False)
             return frame
         frame = compute().persist()
         rows = frame.count()
@@ -169,21 +232,41 @@ def build_kg(
     # 5. predict -----------------------------------------------------------
     def compute_predictions() -> DataFrame:
         cand = all_by_all(labels)
+        if "embedding" in labels.columns:
+            cand = _with_embedding_confidence(cand, labels)
         surface_evidence = evidence.groupBy("surface").agg(
             F.sum("n_docs").alias("surface_docs")
         )
+        # Evidence attaches via two broadcast *equi*-joins (subject side,
+        # object side) — NOT one OR-condition join. An OR non-equi
+        # condition plans as BroadcastNestedLoopJoin (O(cand × evidence)
+        # per partition — a scale-killer once evidence stops being tiny)
+        # and fans out: a candidate whose two labels match two different
+        # evidence surfaces would emit two mapping rows with diverging
+        # confidences. surface_evidence is keyed (unique) on surface, so
+        # each equi-join matches ≤ 1 row: exactly one output row per
+        # candidate, no shuffle of the candidate side, and the boost
+        # takes the stronger side's evidence.
+        ev_s = surface_evidence.select(
+            F.col("surface").alias("_s_key"), F.col("surface_docs").alias("_s_docs")
+        )
+        ev_o = surface_evidence.select(
+            F.col("surface").alias("_o_key"), F.col("surface_docs").alias("_o_docs")
+        )
         boosted = cand.join(
-            F.broadcast(surface_evidence),
-            on=F.lower(cand["subject_label"]).eqNullSafe(F.col("surface"))
-            | F.lower(cand["object_label"]).eqNullSafe(F.col("surface")),
-            how="left",
+            F.broadcast(ev_s), F.lower(F.col("subject_label")) == F.col("_s_key"), "left"
+        ).join(
+            F.broadcast(ev_o), F.lower(F.col("object_label")) == F.col("_o_key"), "left"
+        )
+        docs = F.greatest(
+            F.coalesce(F.col("_s_docs"), F.lit(0)), F.coalesce(F.col("_o_docs"), F.lit(0))
         )
         # evidence boost saturates: conf' = conf + (1-conf) * min(docs/20, .5)
-        boost = F.least(F.coalesce(F.col("surface_docs"), F.lit(0)) / 20.0, F.lit(0.5))
+        boost = F.least(docs / 20.0, F.lit(0.5))
         scored = boosted.withColumn(
             "confidence",
             F.round(F.col("confidence") + (1.0 - F.col("confidence")) * boost, 3),
-        ).drop("surface", "surface_docs")
+        ).drop("_s_key", "_s_docs", "_o_key", "_o_docs")
         kept = scored.filter(F.col("confidence") >= cfg.confidence_cutoff)
         return _as_mapping_rows(kept, cfg)
 
@@ -196,6 +279,16 @@ def build_kg(
             out = exclude_curated(out, curated)
         if xrefs is not None:
             out = exclude_existing_xrefs(out, xrefs)
+        if curated is not None and cfg.exclude_connected:
+            # J7: endpoints already transitively connected through the
+            # *positive* curated graph (negatives carry predicate_modifier
+            # = 'Not' and must not create connectivity). Curated data is
+            # human-scale, so its components frame broadcasts.
+            existing = curated.filter(
+                (F.col("predicate_id") == "skos:exactMatch")
+                & F.col("predicate_modifier").isNull()
+            ).select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+            out = exclude_same_component(out, connected_components(existing))
         return out
 
     accepted = stage("accepted_predictions", "exclude", compute_excluded)

@@ -80,6 +80,13 @@ def generate_pages(
     ``transform``/``sequence`` higher-order functions so the expression
     tree stays O(1) in document length.
     """
+    if n_sentences < 1 or words_per_sentence < 1:
+        # F.sequence(0, -1) defaults to step -1 and yields [0, -1] —
+        # garbage sentences instead of an empty body.
+        raise ValueError(
+            "n_sentences and words_per_sentence must be >= 1 "
+            f"(got {n_sentences}, {words_per_sentence})"
+        )
     labels = labels or DEFAULT_LABELS
     base = spark.range(n).select(F.col("id").alias("i"))
 

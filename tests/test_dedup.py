@@ -89,3 +89,59 @@ class TestSimHash:
         one = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark).coalesce(1)).collect()}
         many = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark).repartition(6)).collect()}
         assert one == many
+
+    def test_signature_matches_python_reference_kernel(self, spark):
+        """JVM md5 bit-vote pipeline ≡ the canonical per-token definition."""
+        import hashlib
+
+        import numpy as np
+
+        def ref(text):
+            toks = ("" if text is None else str(text)).lower().split()
+            if not toks:
+                return 0
+            hs = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in set(toks)],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            return int(np.int64(sig))
+
+        rows = [
+            ("a", "Hello World  foo\tbar\nbaz hello"),
+            ("b", ""),
+            ("c", None),
+            ("d", "x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert got == {k: ref(t) for k, t in rows}
+
+
+class TestHotShingleCap:
+    def test_cap_bounds_candidate_join(self, spark):
+        """Boilerplate-skew fixture: every doc shares one hot shingle; the
+        cap must keep the join from going quadratic while distinct
+        genuine near-dup pairs survive with their (lower-bound) score."""
+        boiler = "all rights reserved contact us"
+        rows = [(f"d{i:02d}", f"{boiler} unique body {i} {i} {i}") for i in range(30)]
+        rows += [("x1", f"{boiler} shared long tail about mapping curation"),
+                 ("x2", f"{boiler} shared long tail about mapping curation")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+        capped = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3, max_shingle_df=5)
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+        assert ("x1", "x2") in pairs
+        # the 30 boilerplate-only docs share ONLY capped shingles → no pairs
+        assert all(p == ("x1", "x2") for p in pairs)
+
+        # uncapped agrees on the surviving pair's upper bound
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3).collect()
+        }
+        assert pairs[("x1", "x2")] <= exact[("x1", "x2")]

@@ -101,3 +101,23 @@ class TestTopK:
         assert approx  # finds something
         for r in approx:
             assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+class TestBroadcastGuardrail:
+    def test_oversized_target_raises(self, spark):
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.embedding import embedding_similarity_join
+
+        big = spark.range(50).select(
+            F.col("id").cast("string").alias("id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        spark.conf.set("spark.sssom.embedding.maxBroadcastTargetRows", "10")
+        try:
+            with pytest.raises(ValueError, match="cosine_topk_lsh"):
+                embedding_similarity_join(big.limit(5), big)
+        finally:
+            spark.conf.unset("spark.sssom.embedding.maxBroadcastTargetRows")

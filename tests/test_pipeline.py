@@ -154,3 +154,153 @@ class TestSummaries:
         assert len(unstable) == 1
         missing = {(r["u"], r["v"]) for r in incomplete_components(repo).collect()}
         assert missing == {("a:1", "c:1")}  # triangle incomplete
+
+
+class TestPredictStage:
+    def test_one_row_per_pair_even_with_evidence_on_both_sides(self, spark):
+        """The evidence boost must never fan a candidate out into two rows
+        (the old OR-condition join did when subject and object labels
+        matched different evidence surfaces)."""
+        out = build_kg(
+            spark,
+            generate_pages(spark, 250),
+            seed_labels(spark),
+            xrefs=seed_xrefs(spark),
+        )
+        dups = (
+            out["mappings"]
+            .groupBy("subject_id", "object_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+
+    def test_no_nested_loop_join_in_predict_plan(self, spark):
+        out = build_kg(
+            spark, generate_pages(spark, 100), seed_labels(spark), materialize=False
+        )
+        plan = out["mappings"]._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        out["mappings"].unpersist()
+
+
+class TestExcludeConnected:
+    def test_transitively_connected_pair_dropped(self, spark):
+        """J7: a planted pair whose endpoints are already connected through
+        the curated graph (via an intermediate node) must be dropped even
+        though no curated row matches its canonical tuple."""
+        import datetime
+
+        from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+        def row(s, o):
+            base = {f.name: None for f in MAPPING_SCHEMA.fields}
+            base.update(
+                subject_id=s,
+                predicate_id="skos:exactMatch",
+                object_id=o,
+                mapping_justification="semapv:ManualMappingCuration",
+                mapping_date=datetime.date(2026, 1, 1),
+                status="positive",
+            )
+            return base
+
+        # curated chain: mesh:D024502 — umls:X1 — CHEBI:18145 connects the
+        # alpha-tocopherol pair transitively (no direct curated row).
+        curated = spark.createDataFrame(
+            [row("mesh:D024502", "umls:X1"), row("umls:X1", "CHEBI:18145")],
+            MAPPING_SCHEMA,
+        )
+        out = build_kg(
+            spark,
+            generate_pages(spark, 200),
+            seed_labels(spark),
+            xrefs=seed_xrefs(spark),
+            curated=curated,
+        )
+        got = {
+            (r["subject_id"], r["object_id"])
+            for r in out["mappings"].select("subject_id", "object_id").collect()
+        }
+        assert ("mesh:D024502", "CHEBI:18145") not in got
+        # the other planted pairs survive
+        assert ("mesh:C002563", "CHEBI:28499") in got
+        assert ("mesh:C067604", "CHEBI:9921") in got
+
+    def test_negative_curations_do_not_connect(self, spark):
+        import datetime
+
+        from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+        def row(s, o, modifier):
+            base = {f.name: None for f in MAPPING_SCHEMA.fields}
+            base.update(
+                subject_id=s,
+                predicate_id="skos:exactMatch",
+                predicate_modifier=modifier,
+                object_id=o,
+                mapping_justification="semapv:ManualMappingCuration",
+                mapping_date=datetime.date(2026, 1, 1),
+                status="negative",
+            )
+            return base
+
+        curated = spark.createDataFrame(
+            [
+                row("mesh:D024502", "umls:X1", "Not"),
+                row("umls:X1", "CHEBI:18145", "Not"),
+            ],
+            MAPPING_SCHEMA,
+        )
+        out = build_kg(
+            spark,
+            generate_pages(spark, 200),
+            seed_labels(spark),
+            xrefs=seed_xrefs(spark),
+            curated=curated,
+        )
+        got = {
+            (r["subject_id"], r["object_id"])
+            for r in out["mappings"].select("subject_id", "object_id").collect()
+        }
+        assert ("mesh:D024502", "CHEBI:18145") in got
+
+
+class TestEmbeddingConfidence:
+    def test_contradicting_embedding_lowers_confidence(self, spark):
+        """With an embedding column on the label index, confidence comes
+        from the logistic scorer with the cosine feature active: a pair
+        whose vectors point in opposite directions (cosine = -1) scores
+        strictly below an aligned pair (cosine = +1), even though both
+        are exact lexical matches."""
+        # aligned vectors for the alpha-tocopherol pair; opposing for
+        # the xanthan-gum pair
+        vec = (
+            F.when(F.col("identifier") == "C002563", F.array(F.lit(-1.0), F.lit(0.0)))
+            .otherwise(F.array(F.lit(1.0), F.lit(0.0)))
+        )
+        out = build_kg(
+            spark,
+            generate_pages(spark, 200),
+            seed_labels(spark).withColumn("embedding", vec),
+            xrefs=seed_xrefs(spark),
+            config=KGConfig(confidence_cutoff=0.0),
+        )
+        conf = {
+            (r["subject_id"], r["object_id"]): r["confidence"]
+            for r in out["mappings"].select("subject_id", "object_id", "confidence").collect()
+        }
+        aligned = conf[("mesh:D024502", "CHEBI:18145")]
+        opposing = conf[("mesh:C002563", "CHEBI:28499")]
+        assert opposing < aligned
+
+
+class TestPagesGuards:
+    def test_degenerate_sentence_params_raise(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            generate_pages(spark, 5, n_sentences=0)
+        with pytest.raises(ValueError):
+            generate_pages(spark, 5, words_per_sentence=0)
