@@ -1028,4 +1028,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT pairs.r, pairs.u, pairs.v
             FROM pairs JOIN neg ON pairs.u = neg.u AND pairs.v = neg.v
         """,
+        # full replay of the SimHash pipeline: identical md5-prefix token
+        # hashes (first 16 hex chars as uint64), identical ±1 bit votes,
+        # identical 16-bit-chunk banding and bit_count verify.
+        "simhash_neardup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       t -> t <> ''
+                     ))) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+            ),
+            votes AS (
+              SELECT doc_id, g.i,
+                     sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hashed, generate_series(0, 63) g(i)
+              GROUP BY doc_id, g.i
+            ),
+            sigs0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN
+                           CASE WHEN i = 63 THEN 9223372036854775808::HUGEINT
+                                ELSE ((1::UBIGINT) << i)::HUGEINT END
+                         ELSE 0::HUGEINT END)::UBIGINT AS usig
+              FROM votes GROUP BY doc_id
+            ),
+            sigs AS (
+              SELECT d.doc_id, coalesce(s.usig, 0::UBIGINT) AS usig
+              FROM documents d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id
+            ),
+            banded AS (
+              SELECT s.doc_id, s.usig, c.c AS chunk, (s.usig >> (c.c * 16)) & 65535 AS key
+              FROM sigs s, generate_series(0, 3) c(c)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                              l.usig AS ua, r.usig AS ub
+              FROM banded l
+              JOIN banded r ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id
+            )
+            SELECT doc_a, doc_b, bit_count(xor(ua, ub))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+        """,
+        # full replay of random-hyperplane LSH: md5-seeded planes
+        # (component (p,d) = uint32(md5(p|d)[:8])/0x7FFFFFFF - 1), sign-bit
+        # band keys, bucket candidate join, exact cosine rerank. dim=64 is
+        # the embeddings-table width at every driver sf.
+        "ann_lsh": """
+            WITH planes AS (
+              SELECT p.p, d.d,
+                     (('0x' || substr(md5(p.p || '|' || d.d), 1, 8))::UBIGINT)::DOUBLE
+                       / 2147483647.0 - 1.0 AS v
+              FROM generate_series(0, 15) p(p), generate_series(0, 63) d(d)
+            ),
+            dots AS (
+              SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::DOUBLE * pl.v) AS dot
+              FROM embeddings e, planes pl
+              GROUP BY e.vec_id, pl.p
+            ),
+            bandkeys AS (
+              SELECT vec_id, (p // 4) AS band,
+                     string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS key
+              FROM dots GROUP BY vec_id, (p // 4)
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM bandkeys q JOIN bandkeys c ON q.band = c.band AND q.key = c.key
+              WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                                  ce.embedding::DOUBLE[]), 4) AS cosine
+              FROM cand cd
+              JOIN embeddings qe ON qe.vec_id = cd.query_id
+              JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        # golden-transition replication of the five-mark curation state
+        # machine (reference wsgi_cases.py:199-323): same constructed input
+        # (from nation), transitions expressed as CASE.
+        "curation_marks": """
+            WITH base AS (
+              SELECT n_nationkey AS k,
+                     'CHEBI:' || CAST(n_nationkey AS VARCHAR) AS subject_id,
+                     CASE WHEN n_nationkey % 6 = 5 THEN 'positive' ELSE 'predicted' END AS status0,
+                     ['correct','incorrect','unsure','BROAD','NARROW','correct'][(n_nationkey % 6) + 1] AS mark
+              FROM nation
+            ),
+            t AS (
+              SELECT *,
+                     (status0 = 'predicted') AS eligible,
+                     (status0 = 'predicted' AND mark <> 'unsure') AS to_manual,
+                     (status0 = 'predicted' AND mark = 'unsure') AS to_unsure
+              FROM base
+            )
+            SELECT subject_id,
+                   CASE WHEN to_manual AND mark = 'BROAD' THEN 'skos:broadMatch'
+                        WHEN to_manual AND mark = 'NARROW' THEN 'skos:narrowMatch'
+                        ELSE 'skos:exactMatch' END AS predicate_id,
+                   CASE WHEN to_manual AND mark = 'incorrect' THEN 'Not' END AS predicate_modifier,
+                   CASE WHEN to_manual THEN 'semapv:ManualMappingCuration'
+                        ELSE 'semapv:LexicalMatching' END AS mapping_justification,
+                   CASE WHEN to_manual THEN NULL ELSE 0.9::DOUBLE END AS confidence,
+                   CASE WHEN to_manual THEN NULL ELSE 'test' END AS mapping_tool,
+                   CASE WHEN eligible THEN
+                        CASE mark WHEN 'incorrect' THEN 'negative'
+                                  WHEN 'unsure' THEN 'unsure'
+                                  ELSE 'positive' END
+                        ELSE status0 END AS status,
+                   CASE WHEN to_manual THEN 'orcid:0000-0000-0000-0000' END AS author,
+                   CASE WHEN to_unsure THEN 'orcid:0000-0000-0000-0000' END AS reviewer,
+                   CASE WHEN to_manual THEN '2026-08-16' END AS mapping_date_s,
+                   CASE WHEN to_unsure THEN '2026-08-16' END AS review_date_s,
+                   CASE WHEN to_unsure THEN 0.0::DOUBLE END AS reviewer_agreement
+            FROM t
+        """,
+        # hand-derived planted-truth edge set: seed_labels contains exactly
+        # four cross-namespace normalized-text collisions; the ethoxzolamide
+        # pair is removed by the seed xref anti-join (J6); base lexical
+        # confidence of an exact-text all-by-all pair is 1.0, and the
+        # saturating evidence boost is an identity at 1.0.
+        "kg_pipeline": """
+            SELECT * FROM (VALUES
+              ('mesh:D024502', 'skos:exactMatch', 'CHEBI:18145', 1.0::DOUBLE),
+              ('mesh:C002563', 'skos:exactMatch', 'CHEBI:28499', 1.0::DOUBLE),
+              ('mesh:C067604', 'skos:exactMatch', 'CHEBI:9921',  1.0::DOUBLE)
+            ) AS t(subject_id, predicate_id, object_id, confidence)
+        """,
     }

@@ -11,16 +11,26 @@ single-file serialization touch the driver.
 
 from __future__ import annotations
 
+import datetime
+import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sssom_curator_spark.functions.curie_ops import curie_prefix, standardize_curie
-from sssom_curator_spark.io.sssom_tsv import write_sssom_tsv
+from sssom_curator_spark.io.sssom_tsv import lint_frame, write_sssom_tsv
 from sssom_curator_spark.operators.relational import merge_repository
+from sssom_curator_spark.schema import TSV_COLUMN_ORDER
 
-__all__ = ["standardize_frame", "used_prefixes", "merge_to_tsv"]
+__all__ = [
+    "standardize_frame",
+    "used_prefixes",
+    "merge_to_tsv",
+    "merge_to_json",
+    "merge_to_owl",
+]
 
 
 def standardize_frame(df: DataFrame, alias_map: dict[str, str]) -> DataFrame:
@@ -57,6 +67,18 @@ def used_prefixes(df: DataFrame) -> list[str]:
     return sorted(r["p"] for r in rows)
 
 
+def _merged_with_submap(
+    frames: dict[str, DataFrame],
+    prefix_map: dict[str, str],
+    alias_map: dict[str, str] | None,
+) -> tuple[DataFrame, dict[str, str]]:
+    merged = merge_repository(frames).drop("status")
+    if alias_map:
+        merged = standardize_frame(merged, alias_map)
+    used = set(used_prefixes(merged))
+    return merged, {p: u for p, u in prefix_map.items() if p in used}
+
+
 def merge_to_tsv(
     frames: dict[str, DataFrame],
     path: str,
@@ -66,11 +88,7 @@ def merge_to_tsv(
     metadata: dict[str, Any] | None = None,
 ) -> list[str]:
     """Full merge export. Returns serialized columns."""
-    merged = merge_repository(frames).drop("status")
-    if alias_map:
-        merged = standardize_frame(merged, alias_map)
-    used = set(used_prefixes(merged))
-    sub_map = {p: u for p, u in prefix_map.items() if p in used}
+    merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
     return write_sssom_tsv(
         merged,
         path,
@@ -79,3 +97,122 @@ def merge_to_tsv(
         sort=True,
         drop_duplicates=True,
     )
+
+
+def _json_value(value: Any) -> Any:
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    return value
+
+
+def _collect_mappings(merged: DataFrame) -> list[dict[str, Any]]:
+    """Canonically sorted, linted mapping rows as plain dicts (non-null,
+    TSV column order, record_id excluded — reference excludes unset fields
+    via ``model_dump(exclude_none=True)``, export/merge.py:20-21).
+
+    The collect is intentional: JSON/OWL merge artifacts are single
+    driver-side files of the *curated* repository (human-scale — the
+    reference streams them through sssom-py's in-memory MSDF the same
+    way, export/merge.py:88-121). Corpus-scale outputs go through the
+    TSV/Iceberg sinks.
+    """
+    linted = lint_frame(merged, sort=True, drop_duplicates=True)
+    cols = [c for c in TSV_COLUMN_ORDER if c != "record_id" and c in linted.columns]
+    rows = []
+    for row in linted.select(*cols).toLocalIterator(prefetchPartitions=True):
+        d = {}
+        for c in cols:
+            v = row[c]
+            if v is None or (isinstance(v, list) and not v):
+                continue
+            d[c] = _json_value(v)
+        rows.append(d)
+    return rows
+
+
+def merge_to_json(
+    frames: dict[str, DataFrame],
+    path: str,
+    *,
+    prefix_map: dict[str, str],
+    alias_map: dict[str, str] | None = None,
+    metadata: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """S6 JSON merge sink (reference export/merge.py:112-117 delegates to
+    sssom-py ``write_json``; sssom-py is not in this container, so the
+    document structure — mapping-set metadata + ``curie_map`` + a
+    ``mappings`` list of non-null field dicts — is emitted directly,
+    deterministically: sorted keys, canonical mapping order).
+
+    Returns the document (also written to ``path``).
+    """
+    merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
+    doc: dict[str, Any] = {
+        **{k: _json_value(v) for k, v in sorted((metadata or {}).items())},
+        "curie_map": dict(sorted(sub_map.items())),
+        "mappings": _collect_mappings(merged),
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as handle:
+        json.dump(doc, handle, indent=2, sort_keys=True, ensure_ascii=False)
+        handle.write("\n")
+    return doc
+
+
+#: SSSOM slot → annotation property CURIE for the OWL rendering.
+_OWL_SLOT_PREDICATES = {
+    "mapping_justification": "sssom:mapping_justification",
+    "confidence": "sssom:confidence",
+    "predicate_modifier": "sssom:predicate_modifier",
+    "mapping_tool": "sssom:mapping_tool",
+    "mapping_date": "sssom:mapping_date",
+    "author_id": "sssom:author_id",
+    "reviewer_id": "sssom:reviewer_id",
+}
+
+
+def merge_to_owl(
+    frames: dict[str, DataFrame],
+    path: str,
+    *,
+    prefix_map: dict[str, str],
+    alias_map: dict[str, str] | None = None,
+    ontology_iri: str = "https://example.org/mappings.sssom.owl",
+) -> str:
+    """S6 OWL merge sink (reference export/merge.py:118-121 delegates to
+    sssom-py ``write_owl``). Emitted here as deterministic OWL 2
+    functional-style syntax: one ``AnnotationAssertion`` per mapping with
+    the SSSOM slots reified as axiom annotations — the same semantic
+    content sssom-py serializes, in a stable, diffable rendering.
+
+    Returns the document text (also written to ``path``).
+    """
+    merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
+    lines = [
+        f"Prefix({p}:=<{u}>)" for p, u in sorted(sub_map.items())
+    ]
+    lines.append(f"Ontology(<{ontology_iri}>")
+    for m in _collect_mappings(merged):
+        annotations = []
+        for slot, pred in _OWL_SLOT_PREDICATES.items():
+            v = m.get(slot)
+            if v is None:
+                continue
+            if isinstance(v, list):
+                for item in v:
+                    annotations.append(f'Annotation({pred} "{item}")')
+            elif isinstance(v, float):
+                annotations.append(f'Annotation({pred} "{v!r}"^^xsd:double)')
+            else:
+                annotations.append(f'Annotation({pred} "{v}")')
+        ann = (" ".join(annotations) + " ") if annotations else ""
+        lines.append(
+            f"AnnotationAssertion({ann}{m['predicate_id']} "
+            f"{m['subject_id']} {m['object_id']})"
+        )
+    lines.append(")")
+    text = "\n".join(lines) + "\n"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as handle:
+        handle.write(text)
+    return text
