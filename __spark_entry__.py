@@ -575,6 +575,16 @@ def q_curie_uri_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("curie", expand_curie("curie", PREFIX_MAP).alias("uri"))
 
 
+def q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: zero-filled integer histogram (export/charts.py:221-229
+    ``_countplot_list``) over per-customer order counts."""
+    from sssom_curator_spark.export.summary import zero_filled_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return zero_filled_histogram(per_cust, "n")
+
+
 def q_same_text_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ``same_text``: case-insensitive label equality between paired
     rows (web/utils.py:60-76, applied web/backends/memory.py:87-92)."""
@@ -657,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contributor_counts": q_contributor_counts,
         "redundancy_report": q_redundancy_report,
         "curie_uri_expand": q_curie_uri_expand,
+        "size_histogram": q_size_histogram,
         "same_text_filter": q_same_text_filter,
         "missing_edges": q_missing_edges,
         "unstable_components": q_unstable_components,
@@ -995,6 +1006,14 @@ def oracle_sql() -> dict[str, str]:
                      ELSE NULL
                    END AS uri
             FROM c
+        """,
+        "size_histogram": """
+            WITH per AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+            counts AS (SELECT n::BIGINT AS size, count(*) AS count FROM per GROUP BY n),
+            rng AS (SELECT min(size) AS lo, max(size) AS hi FROM counts),
+            dom AS (SELECT unnest(generate_series(lo, hi)) AS size FROM rng)
+            SELECT d.size, coalesce(c.count, 0)::BIGINT AS count
+            FROM dom d LEFT JOIN counts c USING (size) ORDER BY d.size
         """,
         "same_text_filter": """
             SELECT a.p_partkey AS k, a.p_type AS t1, b.p_type AS t2

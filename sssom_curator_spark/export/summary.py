@@ -25,6 +25,7 @@ __all__ = [
     "component_stats",
     "unstable_components",
     "incomplete_components",
+    "zero_filled_histogram",
 ]
 
 
@@ -126,4 +127,27 @@ def incomplete_components(repository: DataFrame) -> DataFrame:
     ).distinct()
     return all_pairs.join(existing, on=["u", "v"], how="left_anti").select(
         "component", "u", "v"
+    )
+
+
+def zero_filled_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """A7 zero-filled integer histogram (reference ``_countplot_list``,
+    export/charts.py:221-229: Counter with every gap between min and max
+    filled with 0 so the chart's x-axis is dense).
+
+    One groupBy produces the sparse counts (small — one row per distinct
+    size); the dense domain comes from a ``sequence`` explode over the
+    1-row min/max aggregate, and the fill is a left join of two tiny
+    frames. Nothing here scales with the input rows except the first
+    aggregation."""
+    counts = df.groupBy(F.col(value_col).cast("long").alias("size")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    domain = counts.agg(
+        F.min("size").alias("lo"), F.max("size").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("size"))
+    return (
+        domain.join(counts, on="size", how="left")
+        .select("size", F.coalesce("count", F.lit(0)).alias("count"))
+        .orderBy("size")
     )

@@ -36,6 +36,8 @@ from sssom_curator_spark.schema import (
 __all__ = [
     "parse_metadata_header",
     "read_sssom_tsv",
+    "read_sssom_url",
+    "chain_prefix_maps",
     "lint_frame",
     "write_sssom_tsv",
     "render_metadata_header",
@@ -104,6 +106,40 @@ def read_sssom_tsv(
         else:
             projections.append(F.col(name).cast(field.dataType).alias(name))
     return raw.select(*projections), prefix_map, metadata
+
+
+def read_sssom_url(
+    spark: SparkSession, url: str
+) -> tuple[DataFrame, dict[str, str], dict[str, Any]]:
+    """SSSOM URL scan (S2): fetch + distribute + the S1 scan.
+
+    The reference streams a remote TSV (43.4M-row SeMRA import) through a
+    pystow download cache (repository.py:987-997). Here ``SparkContext.
+    addFile`` performs the fetch once and exposes the file locally
+    (``http(s)://``, ``ftp://`` and ``file://`` URLs all supported by the
+    Spark file server); the scan then reuses :func:`read_sssom_tsv`.
+    Cluster note: for multi-executor deployments land big imports on
+    shared storage (S3/HDFS/Iceberg) and point ``read_sssom_tsv`` at it —
+    addFile is the parity path for the reference's single-file import.
+    """
+    from pyspark import SparkFiles
+
+    spark.sparkContext.addFile(url)
+    name = url.rstrip("/").rsplit("/", 1)[-1]
+    return read_sssom_tsv(spark, SparkFiles.get(name))
+
+
+def chain_prefix_maps(maps: list[dict[str, str]]) -> dict[str, str]:
+    """U4 converter chain (reference repository.py:276-278 via
+    ``curies.chain``): first-wins union of per-file prefix maps — a prefix
+    keeps the FIRST URI expansion seen in file order; later conflicting
+    expansions for the same prefix are ignored."""
+    out: dict[str, str] = {}
+    for m in maps:
+        for prefix, uri in m.items():
+            if prefix not in out:
+                out[prefix] = uri
+    return out
 
 
 def lint_frame(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from sssom_curator_spark.functions.curie_ops import curie_prefix
 from sssom_curator_spark.operators.relational import paginate
 
-__all__ = ["QueryState", "apply_state"]
+__all__ = ["QueryState", "apply_state", "pagination_elements"]
 
 
 @dataclass
@@ -93,3 +93,33 @@ def apply_state(df: DataFrame, state: QueryState, *, paginated: bool = True) -> 
     if paginated:
         out = paginate(out, sort=state.sort, offset=state.offset, limit=state.limit)
     return out
+
+
+def pagination_elements(
+    *, offset: int, limit: int, remaining_rows: int
+) -> list[dict[str, object]]:
+    """O4 pagination elements (reference web/utils.py:101-123).
+
+    Driver-side arithmetic over the paged state: First/Previous render
+    when a full previous page exists, Next/Last when a full next page
+    does. Field names, icons, texts, and positions mirror the reference's
+    ``PaginationElement`` golden behavior, including the thousands
+    separator in the button texts.
+    """
+    rv: list[dict[str, object]] = []
+
+    def _append(off: int | None, icon: str, text: str, position: str) -> None:
+        rv.append({"offset": off, "icon": icon, "text": text, "position": position})
+
+    if 0 <= offset - limit:
+        _append(None, "skip-start-circle", "First", "after")
+        _append(offset - limit, "skip-backward-circle", f"Previous {limit:,}", "after")
+    if offset < remaining_rows - limit:
+        _append(offset + limit, "skip-forward-circle", f"Next {limit:,}", "before")
+        _append(
+            remaining_rows - limit,
+            "skip-end-circle",
+            f"Last ({remaining_rows:,})",
+            "before",
+        )
+    return rv

@@ -128,3 +128,136 @@ class TestCurationDateStamp:
         assert _format_cell(0.77) == "0.77"
         assert _format_cell(["a", "b"]) == "a|b"
         assert _format_cell(None) == ""
+
+
+class TestMergeJsonOwl:
+    """S6 JSON/OWL sinks — golden content pinned to the reference's seed
+    mapping rows (initialize/__init__.py:45-84 via seed_repository), the
+    same fixture the TSV golden pins."""
+
+    def test_json_document_golden(self, spark, tmp_path):
+        import json
+
+        from sssom_curator_spark.export.merge import merge_to_json
+
+        out = str(tmp_path / "merged.sssom.json")
+        doc = merge_to_json(
+            _frames(spark),
+            out,
+            prefix_map=PREFIX_MAP,
+            metadata={"mapping_set_id": MAPPING_SET_ID, "license": "CC0"},
+        )
+        with open(out) as fh:
+            assert json.load(fh) == doc
+        assert doc["mapping_set_id"] == MAPPING_SET_ID
+        assert set(doc["curie_map"]) == set(PREFIX_MAP)
+        assert [m["subject_id"] for m in doc["mappings"]] == [
+            "CHEBI:10057",
+            "CHEBI:101096",
+            "CHEBI:11986",
+            "CHEBI:61700",
+        ]
+        ethox = doc["mappings"][1]
+        assert ethox == {
+            "subject_id": "CHEBI:101096",
+            "subject_label": "ethoxzolamide",
+            "predicate_id": "skos:exactMatch",
+            "object_id": "mesh:C523270",
+            "object_label": "6-ethoxybenzothiazole-2-sulfonamide",
+            "mapping_justification": "semapv:LexicalMatching",
+            "mapping_tool": "sssom-curator",
+            "mapping_tool_id": "wikidata:Q138902949",
+            "mapping_tool_version": "0.4.2",
+            "confidence": 0.77,
+        }
+        # negatives keep the Not modifier; unsure rows carry reviewer slots
+        assert doc["mappings"][0]["predicate_modifier"] == "Not"
+        assert doc["mappings"][3]["reviewer_id"] == ["orcid:0000-0003-4423-4370"]
+        assert doc["mappings"][3]["reviewer_agreement"] == 0.0
+
+    def test_owl_document_golden(self, spark, tmp_path):
+        from sssom_curator_spark.export.merge import merge_to_owl
+
+        out = str(tmp_path / "merged.sssom.owl")
+        text = merge_to_owl(_frames(spark), out, prefix_map=PREFIX_MAP)
+        with open(out) as fh:
+            assert fh.read() == text
+        lines = text.splitlines()
+        assert lines[0] == "Prefix(CHEBI:=<http://purl.obolibrary.org/obo/CHEBI_>)"
+        assert sum(1 for l in lines if l.startswith("Prefix(")) == len(PREFIX_MAP)
+        axioms = [l for l in lines if l.startswith("AnnotationAssertion(")]
+        assert len(axioms) == 4  # one per merged mapping, canonical order
+        assert axioms[1] == (
+            "AnnotationAssertion("
+            'Annotation(sssom:mapping_justification "semapv:LexicalMatching") '
+            'Annotation(sssom:confidence "0.77"^^xsd:double) '
+            'Annotation(sssom:mapping_tool "sssom-curator") '
+            "skos:exactMatch CHEBI:101096 mesh:C523270)"
+        )
+        # negative mapping reifies the predicate modifier
+        assert 'Annotation(sssom:predicate_modifier "Not")' in axioms[0]
+
+
+class TestUrlScan:
+    def test_file_url_roundtrip(self, spark, tmp_path):
+        from sssom_curator_spark.export.merge import merge_to_tsv
+        from sssom_curator_spark.io.sssom_tsv import read_sssom_url
+
+        out = tmp_path / "via_url.sssom.tsv"
+        merge_to_tsv(
+            _frames(spark),
+            str(out),
+            prefix_map=PREFIX_MAP,
+            metadata={"mapping_set_id": MAPPING_SET_ID},
+        )
+        df, prefix_map, metadata = read_sssom_url(spark, out.as_uri())
+        assert df.count() == 4
+        assert prefix_map["CHEBI"] == PREFIX_MAP["CHEBI"]
+        assert metadata["mapping_set_id"] == MAPPING_SET_ID
+
+
+class TestConverterChain:
+    def test_first_wins(self):
+        from sssom_curator_spark.io.sssom_tsv import chain_prefix_maps
+
+        chained = chain_prefix_maps(
+            [
+                {"CHEBI": "http://a/", "mesh": "http://m1/"},
+                {"mesh": "http://m2/", "uniprot": "http://u/"},
+                {"CHEBI": "http://c3/"},
+            ]
+        )
+        assert chained == {
+            "CHEBI": "http://a/",
+            "mesh": "http://m1/",
+            "uniprot": "http://u/",
+        }
+
+
+class TestPaginationElements:
+    def test_middle_page_has_all_four(self):
+        from sssom_curator_spark.plans.state_query import pagination_elements
+
+        els = pagination_elements(offset=20, limit=10, remaining_rows=100)
+        assert [e["text"] for e in els] == ["First", "Previous 10", "Next 10", "Last (100)"]
+        assert [e["offset"] for e in els] == [None, 10, 30, 90]
+        assert [e["position"] for e in els] == ["after", "after", "before", "before"]
+
+    def test_first_page_has_only_forward(self):
+        from sssom_curator_spark.plans.state_query import pagination_elements
+
+        els = pagination_elements(offset=0, limit=10, remaining_rows=25)
+        assert [e["text"] for e in els] == ["Next 10", "Last (25)"]
+
+    def test_last_page_has_only_backward(self):
+        from sssom_curator_spark.plans.state_query import pagination_elements
+
+        els = pagination_elements(offset=90, limit=10, remaining_rows=100)
+        assert [e["text"] for e in els] == ["First", "Previous 10"]
+
+    def test_thousands_separator(self):
+        from sssom_curator_spark.plans.state_query import pagination_elements
+
+        els = pagination_elements(offset=2000, limit=1000, remaining_rows=50000)
+        assert els[1]["text"] == "Previous 1,000"
+        assert els[3]["text"] == "Last (50,000)"
