@@ -13,7 +13,8 @@ files, interop). All heavy lifting — sort, dedup, exclusion anti-join,
 non-empty-column detection — happens distributed on the DataFrame; only the
 final single-file serialization touches the driver, mirroring the
 reference's single-file artifact. At scale the sink is a partitioned
-Parquet/Iceberg table (see :mod:`sssom_curator_spark.sources.repository`).
+Parquet/Iceberg table (the :class:`sssom_curator_spark.checkpoint.
+SnapshotStore` writes exactly that shape).
 """
 
 from __future__ import annotations

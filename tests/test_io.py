@@ -261,3 +261,32 @@ class TestPaginationElements:
         els = pagination_elements(offset=2000, limit=1000, remaining_rows=50000)
         assert els[1]["text"] == "Previous 1,000"
         assert els[3]["text"] == "Last (50,000)"
+
+
+class TestScaffold:
+    def test_initialize_project_roundtrip(self, spark, tmp_path):
+        import json
+
+        import pytest
+
+        from sssom_curator_spark.initialize import initialize_project
+        from sssom_curator_spark.io.sssom_tsv import read_sssom_tsv
+
+        cfg = initialize_project(
+            spark, str(tmp_path / "proj"), mapping_set_id="https://example.org/ms/x"
+        )
+        assert cfg["purl_base"] == "https://example.org/ms/"
+        with open(tmp_path / "proj" / "sssom-curator.json") as fh:
+            assert json.load(fh) == cfg
+        # each seeded file reads back with exactly one mapping
+        for rel in [cfg["positives_path"], cfg["negatives_path"],
+                    cfg["predictions_path"], cfg["unsure_path"]]:
+            df, prefix_map, metadata = read_sssom_tsv(spark, str(tmp_path / "proj" / rel))
+            assert df.count() == 1
+            assert metadata["mapping_set_id"].startswith("https://example.org/ms/")
+        assert (tmp_path / "proj" / "README.md").exists()
+        # refuses to overwrite
+        with pytest.raises(FileExistsError):
+            initialize_project(
+                spark, str(tmp_path / "proj"), mapping_set_id="https://example.org/ms/x"
+            )
