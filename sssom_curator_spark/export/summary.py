@@ -26,6 +26,7 @@ __all__ = [
     "unstable_components",
     "incomplete_components",
     "zero_filled_histogram",
+    "chart_data",
 ]
 
 
@@ -151,3 +152,46 @@ def zero_filled_histogram(df: DataFrame, value_col: str) -> DataFrame:
         .select("size", F.coalesce("count", F.lit(0)).alias("count"))
         .orderBy("size")
     )
+
+
+def chart_data(repository: DataFrame) -> dict:
+    """S9 chart aggregates (reference export/charts.py:32-184 renders
+    these three Counter series with matplotlib; the container has no
+    matplotlib, so the sink is the DATA — the distributed aggregations —
+    serialized YAML/JSON-ready; any plotting frontend consumes it):
+
+    - ``component_sizes``: zero-filled histogram of positive-component
+      node counts (charts.py:221-229 `_countplot_list`);
+    - ``prefixes``: per-prefix mapping participation, most-common order
+      (charts.py:165-171);
+    - ``relations``: predicate counts, most-common order
+      (charts.py:172-177).
+    """
+    sizes = component_stats(repository).select("n_nodes")
+    size_hist = {
+        int(r["size"]): int(r["count"])
+        for r in zero_filled_histogram(sizes, "n_nodes").collect()
+    }
+    true_maps = repository.filter(
+        (F.col("status") == "positive") & F.col("predicate_modifier").isNull()
+    )
+    prefixes = (
+        true_maps.select(
+            F.explode(
+                F.array(curie_prefix("subject_id"), curie_prefix("object_id"))
+            ).alias("prefix")
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "prefix")
+    )
+    relations = (
+        true_maps.groupBy(F.col("predicate_id").alias("relation"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "relation")
+    )
+    return {
+        "component_sizes": size_hist,
+        "prefixes": {r["prefix"]: int(r["count"]) for r in prefixes.collect()},
+        "relations": {r["relation"]: int(r["count"]) for r in relations.collect()},
+    }

@@ -167,6 +167,7 @@ def annotate_mentions(
     *,
     id_col: str = "url",
     text_col: str = "text",
+    html_col: str | None = None,
     cutoff: float = 0.0,
 ) -> DataFrame:
     """Mention detection over document text (J2) + candidate attachment.
@@ -180,6 +181,15 @@ def annotate_mentions(
     Stage 2 — broadcast join of spans to the index on the matched surface
     (surface == norm_text) fans each span out to its candidate entities;
     scoring gives exact-surface hits confidence ≈ max.
+
+    ``html_col`` fuses html→text extraction into the SAME python pass
+    (one ``mapInPandas`` doing extract + normalize + AC scan): the
+    corpus crosses the JVM↔Arrow↔Python boundary once instead of twice
+    (once as html for the extract UDF, again as text for the scan).
+    Outputs are identical to running :func:`~sssom_curator_spark.extract.
+    with_extracted_text` followed by the text path — the same pure
+    kernels, one process. This is the throughput scan for the pipeline's
+    lazy mode.
     """
     spark = docs.sparkSession
     # dedupe driver-side: a distinct() here would shuffle a 40-row dim over
@@ -189,15 +199,19 @@ def annotate_mentions(
         {r["norm_text"] for r in index.select("norm_text").collect() if r["norm_text"]}
     )
     bc = spark.sparkContext.broadcast(patterns)
+    content_col = html_col or text_col
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sssom_curator_spark.extract import extract_text
+
         automaton = AhoCorasick()
         for p in bc.value:
             automaton.add(p)
         automaton.build()
         for batch in batches:
             out: dict[str, list] = {"doc_id": [], "start": [], "end": [], "surface": []}
-            for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for doc_id, content in zip(batch[id_col], batch[content_col]):
+                text = extract_text(content) if html_col else content
                 if text is None:
                     continue
                 norm = normalize_text(str(text))
@@ -208,7 +222,7 @@ def annotate_mentions(
                     out["surface"].append(pattern)
             yield pd.DataFrame(out, columns=["doc_id", "start", "end", "surface"])
 
-    spans = docs.select(id_col, text_col).mapInPandas(scan, schema=_MENTION_SCHEMA)
+    spans = docs.select(id_col, content_col).mapInPandas(scan, schema=_MENTION_SCHEMA)
     candidates = index.select(
         F.col("norm_text").alias("surface"),
         F.concat_ws(":", "prefix", "identifier").alias("object_id"),

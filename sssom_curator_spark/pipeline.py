@@ -211,11 +211,22 @@ def build_kg(
     extracted = stage("extracted_pages", "extract", compute_extracted)
 
     # 3. mention -----------------------------------------------------------
+    # Throughput mode fuses extraction INTO the mention scan: one
+    # mapInPandas does extract + normalize + AC, so the page corpus
+    # crosses the Arrow boundary once, not twice (identical outputs —
+    # same pure kernels; pytest asserts fused ≡ staged). Staged mode
+    # keeps extract as its own snapshot/resume boundary, and the parity
+    # audit needs the extracted frame materialized.
+    fuse_scan = (
+        not eager and snapshots is None and not cfg.enforce_extraction_parity
+    )
+
     def compute_mentions() -> DataFrame:
-        m = annotate_mentions(
+        if fuse_scan:
+            return annotate_mentions(filtered, labels, id_col="url", html_col="html")
+        return annotate_mentions(
             extracted, labels, id_col="url", text_col="extracted_text"
         )
-        return m
 
     mentions = stage("mentions", "mention", compute_mentions)
 

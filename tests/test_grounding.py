@@ -125,3 +125,56 @@ class TestMentionDetection:
         got = annotate_mentions(docs, _labels(spark), id_col="doc_id", text_col="text").collect()
         objs = {r["object_id"] for r in got}
         assert objs == {"CHEBI:101096", "mesh:C523270"}
+
+
+class TestFusedScan:
+    def test_fused_html_scan_equals_staged_text_scan(self, spark):
+        """html_col fusion (extract inside the mention scan) must produce
+        byte-identical mentions to with_extracted_text + text scan."""
+        from sssom_curator_spark.extract import with_extracted_text
+        from sssom_curator_spark.operators.grounding import annotate_mentions
+        from sssom_curator_spark.sources.fixtures import seed_labels
+        from sssom_curator_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, 120)
+        labels = seed_labels(spark)
+        staged = annotate_mentions(
+            with_extracted_text(pages).select("url", "extracted_text"),
+            labels,
+            id_col="url",
+            text_col="extracted_text",
+        )
+        fused = annotate_mentions(pages, labels, id_col="url", html_col="html")
+        cols = ["doc_id", "start", "end", "surface", "object_id", "confidence"]
+        a = sorted(tuple(r[c] for c in cols) for r in staged.select(cols).collect())
+        b = sorted(tuple(r[c] for c in cols) for r in fused.select(cols).collect())
+        assert a == b
+        assert len(a) > 0
+
+    def test_build_kg_lazy_equals_eager(self, spark):
+        """The fused lazy scan and the staged eager path emit the same
+        mapping set."""
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.pipeline import build_kg
+        from sssom_curator_spark.sources.fixtures import seed_labels, seed_xrefs
+        from sssom_curator_spark.sources.pages import generate_pages
+
+        def edges(materialize):
+            out = build_kg(
+                spark,
+                generate_pages(spark, 150),
+                seed_labels(spark),
+                xrefs=seed_xrefs(spark),
+                materialize=materialize,
+            )
+            got = sorted(
+                (r["subject_id"], r["object_id"], r["confidence"])
+                for r in out["mappings"]
+                .select("subject_id", "object_id", "confidence")
+                .collect()
+            )
+            out["mappings"].unpersist()
+            return got
+
+        assert edges(False) == edges(True)

@@ -304,3 +304,21 @@ class TestPagesGuards:
             generate_pages(spark, 5, n_sentences=0)
         with pytest.raises(ValueError):
             generate_pages(spark, 5, words_per_sentence=0)
+
+
+class TestChartData:
+    def test_chart_aggregates_shape(self, spark):
+        from sssom_curator_spark.export.summary import chart_data
+
+        out = chart_data(seed_repository(spark))
+        # one positive edge → one 2-node component
+        assert out["component_sizes"] == {2: 1}
+        assert out["prefixes"] == {"CHEBI": 1, "mesh": 1}
+        assert out["relations"] == {"skos:exactMatch": 1}
+
+    def test_zero_fill_between_min_and_max(self, spark):
+        from sssom_curator_spark.export.summary import zero_filled_histogram
+
+        df = spark.createDataFrame([(2,), (2,), (5,)], "v int")
+        rows = {r["size"]: r["count"] for r in zero_filled_histogram(df, "v").collect()}
+        assert rows == {2: 2, 3: 0, 4: 0, 5: 1}
