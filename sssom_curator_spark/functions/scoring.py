@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["SCORING_WEIGHTS", "lexical_features", "score_match_batch"]
+__all__ = ["SCORING_WEIGHTS", "lexical_features", "score_match_batch", "confidence_band"]
 
 #: Fixed logistic-regression weights (feature order below). Deterministic
 #: constants — a stand-in for the reference's trained gilda scorer; tuned so
@@ -85,3 +85,22 @@ def score_match_batch(
     for name in _FEATURES:
         z = z + SCORING_WEIGHTS[name] * feats[name].to_numpy()
     return pd.Series(np.round(1.0 / (1.0 + np.exp(-z)), 3), index=query.index)
+
+
+def confidence_band(col) -> "Column":
+    """C11 confidence banding for presentation (reference renders the
+    prediction progress bar green/yellow/red at >85% / >60% / else —
+    web/templates/home.html:7-15 ``progress_color``). JVM-side
+    ``when`` chain; null confidence yields null band."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    # the reference truncates to int percent BEFORE comparing
+    # (`((confidence | float) * 100) | int`), so 0.855 → 85 → warning
+    pct = F.floor(c * 100)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(pct > 85, F.lit("success"))
+        .when(pct > 60, F.lit("warning"))
+        .otherwise(F.lit("danger"))
+    )

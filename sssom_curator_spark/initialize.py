@@ -23,7 +23,7 @@ from sssom_curator_spark.io.sssom_tsv import write_sssom_tsv
 from sssom_curator_spark.schema import STATUSES
 from sssom_curator_spark.sources.fixtures import PREFIX_MAP, seed_repository
 
-__all__ = ["FILE_NAMES", "initialize_project"]
+__all__ = ["FILE_NAMES", "initialize_project", "slugify_title", "load_project_config"]
 
 #: status → scaffold filename (reference constants.py:72-75).
 FILE_NAMES = {
@@ -114,4 +114,26 @@ def initialize_project(
         readme += "\nLicensed CC0 1.0.\n"
     with open(os.path.join(directory, "README.md"), "w", encoding="utf-8") as fh:
         fh.write(readme)
+    return config
+
+
+def slugify_title(title: str) -> str:
+    """C10 name normalization for export filenames (reference
+    export/merge.py:65: ``title.lower().replace(" ", "-")``)."""
+    return title.lower().replace(" ", "-")
+
+
+def load_project_config(path: str) -> dict[str, Any]:
+    """C12 JSON config parse (reference repository.py:105-110,199-210:
+    ``Repository.model_validate_json`` over ``sssom-curator.json``).
+    Accepts a project directory or a direct config-file path; validates
+    the fields the engine consumes."""
+    if os.path.isdir(path):
+        path = os.path.join(path, CONFIGURATION_FILENAME)
+    with open(path, encoding="utf-8") as fh:
+        config = json.load(fh)
+    required = {"positives_path", "negatives_path", "predictions_path", "unsure_path"}
+    missing = required - set(config)
+    if missing:
+        raise ValueError(f"config {path} missing required keys: {sorted(missing)}")
     return config

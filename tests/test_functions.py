@@ -119,3 +119,42 @@ class TestScoring:
     def test_rounded_three_places(self):
         s = score_match_batch(pd.Series(["abc xy"]), pd.Series(["abc zq"]))
         assert float(s.iloc[0]) == round(float(s.iloc[0]), 3)
+
+
+class TestConfidenceBand:
+    def test_bands_match_reference_progress_color(self, spark):
+        """home.html:7-15 progress_color with the int-truncation the
+        template applies before comparing."""
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.scoring import confidence_band
+
+        rows = [(0.99,), (0.855,), (0.86,), (0.61,), (0.6,), (0.3,), (None,)]
+        df = spark.createDataFrame(rows, "confidence double")
+        got = [
+            r["band"]
+            for r in df.select(confidence_band("confidence").alias("band")).collect()
+        ]
+        assert got == ["success", "warning", "success", "warning", "danger", "danger", None]
+
+
+class TestSlugAndConfig:
+    def test_slugify(self):
+        from sssom_curator_spark.initialize import slugify_title
+
+        assert slugify_title("My Mapping Set") == "my-mapping-set"
+
+    def test_config_roundtrip_and_validation(self, spark, tmp_path):
+        import pytest
+
+        from sssom_curator_spark.initialize import initialize_project, load_project_config
+
+        cfg = initialize_project(
+            spark, str(tmp_path / "p"), mapping_set_id="https://example.org/ms/y"
+        )
+        loaded = load_project_config(str(tmp_path / "p"))
+        assert loaded == cfg
+        bad = tmp_path / "bad.json"
+        bad.write_text("{}")
+        with pytest.raises(ValueError, match="missing required keys"):
+            load_project_config(str(bad))
