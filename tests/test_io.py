@@ -290,3 +290,22 @@ class TestScaffold:
             initialize_project(
                 spark, str(tmp_path / "proj"), mapping_set_id="https://example.org/ms/x"
             )
+
+
+class TestPartitionedMappingTable:
+    def test_roundtrip_and_partition_pruning(self, spark, tmp_path):
+        from sssom_curator_spark.io.table import read_mappings_table, write_mappings_table
+
+        repo = seed_repository(spark)
+        path = str(tmp_path / "mappings_table")
+        write_mappings_table(repo, path)
+        # round trip preserves rows and schema (derived column dropped)
+        back = read_mappings_table(spark, path)
+        assert back.count() == repo.count()
+        assert set(back.columns) == set(repo.columns)
+        # a prefix slice prunes partitions at the scan, not post-scan
+        sliced = read_mappings_table(spark, path, subject_prefix="CHEBI")
+        assert sliced.count() == 4  # all seed subjects are CHEBI
+        plan = sliced._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "subject_prefix" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
