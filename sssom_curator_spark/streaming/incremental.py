@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_counts", "incremental_mention_stream"]
+__all__ = ["windowed_event_counts", "incremental_mention_stream", "streaming_first_seen"]
 
 
 def windowed_event_counts(
@@ -64,4 +64,68 @@ def incremental_mention_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_first_seen(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "content_hash",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    state_timeout_hours: int = 24,
+) -> DataFrame:
+    """Custom stateful streaming dedup via ``applyInPandasWithState``:
+    emit each content key's FIRST document, drop later duplicates.
+
+    State per key = the one bit "already emitted" (plus first-seen ts for
+    the timeout). This is exact streaming dedup — the stateful sibling of
+    :func:`sssom_curator_spark.operators.dedup.exact_dedup` — shaped like
+    Spark's dropDuplicates-on-stream but with explicit, timeout-bounded
+    state: keys idle past ``state_timeout_hours`` are evicted (processing-
+    time timeout), so state stays proportional to the active key set, not
+    corpus history — the property that matters at CC-scale ingest.
+
+    Output: ``(content_hash, doc_id, first_ts)`` — one row per new key.
+    """
+    import datetime
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, {id_col} string, first_ts timestamp"
+    )
+    state_schema = "seen boolean"
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = state.exists and state.get[0]
+        best_id, best_ts = None, None
+        for pdf in pdf_iter:
+            for doc_id, ts in zip(pdf[id_col], pdf[ts_col]):
+                if best_ts is None or ts < best_ts or (ts == best_ts and str(doc_id) < str(best_id)):
+                    best_id, best_ts = str(doc_id), ts
+        state.update((True,))
+        state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+        if emitted or best_id is None:
+            return
+        yield pd.DataFrame(
+            {key_col: [key[0]], id_col: [best_id], "first_ts": [best_ts]}
+        )
+
+    src = docs_stream.withWatermark(ts_col, watermark) if docs_stream.isStreaming else docs_stream
+    return (
+        src.groupBy(key_col)
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )

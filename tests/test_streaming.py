@@ -47,3 +47,52 @@ class TestIncrementalMentions:
         )
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
         assert os.path.isdir(ckpt)
+
+
+class TestStreamingFirstSeen:
+    def test_stateful_dedup_within_and_across_batches(self, spark, tmp_path):
+        import datetime
+
+        from sssom_curator_spark.streaming.incremental import streaming_first_seen
+
+        t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+        def rows(*specs):
+            return [
+                (doc, key, t0 + datetime.timedelta(minutes=m)) for doc, key, m in specs
+            ]
+
+        schema = "doc_id string, content_hash string, ts timestamp"
+        src_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_increment(data):
+            spark.createDataFrame(data, schema).coalesce(1).write.mode("append").parquet(src_dir)
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            q = (
+                streaming_first_seen(stream, watermark="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: k1 twice (earlier ts wins), k2 once
+        run_increment(rows(("d2", "k1", 5), ("d1", "k1", 1), ("d3", "k2", 2)))
+        got = {
+            r["content_hash"]: r["doc_id"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {"k1": "d1", "k2": "d3"}
+
+        # batch 2: k1 again (state suppresses), k3 new
+        run_increment(rows(("d4", "k1", 20), ("d5", "k3", 21)))
+        got = {
+            r["content_hash"]: r["doc_id"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == {"k1": "d1", "k2": "d3", "k3": "d5"}
