@@ -265,6 +265,34 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, small_graph_threshold=0)
 
 
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 canonicalization: rewrite edge endpoints to their component
+    representative (north rule: union-find over exactMatch edges
+    collapses equivalent CURIEs; graph/components.py
+    ``canonicalize_mappings``)."""
+    from sssom_curator_spark.graph.components import (
+        canonicalize_mappings,
+        connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(F.col("l_orderkey") < 400)
+        .select(
+            F.concat(F.lit("a"), (F.col("l_orderkey") % 97).cast("string")).alias("src"),
+            F.concat(F.lit("b"), (F.col("l_partkey") % 101).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    comps = connected_components(edges, small_graph_threshold=0)
+    mappings = edges.select(
+        F.col("src").alias("subject_id"), F.col("dst").alias("object_id")
+    )
+    return canonicalize_mappings(mappings, comps).select(
+        "subject_id", "object_id", "subject_canonical", "object_canonical"
+    )
+
+
 def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-lite: component cardinalities from CC labels (charts.py:64-121)."""
     comps = q_connected_components(spark, sf_dir)
@@ -648,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "tumbling_window": q_tumbling_window,
         "connected_components": q_connected_components,
+        "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_lsh": q_minhash_lsh,
@@ -799,6 +828,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "connected_components": _CC_ORACLE,
+        "canonicalize": f"""
+            WITH cc AS ({_CC_ORACLE}),
+            e AS (
+              SELECT DISTINCT 'a' || CAST(l_orderkey % 97 AS VARCHAR) AS subject_id,
+                              'b' || CAST(l_partkey % 101 AS VARCHAR) AS object_id
+              FROM lineitem WHERE l_orderkey < 400
+            )
+            SELECT e.subject_id, e.object_id,
+                   coalesce(c1.component, e.subject_id) AS subject_canonical,
+                   coalesce(c2.component, e.object_id) AS object_canonical
+            FROM e
+            LEFT JOIN cc c1 ON c1.node = e.subject_id
+            LEFT JOIN cc c2 ON c2.node = e.object_id
+        """,
         "component_sizes": f"""
             WITH cc AS ({_CC_ORACLE})
             SELECT component, count(*) AS n_nodes FROM cc GROUP BY component

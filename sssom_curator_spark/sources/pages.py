@@ -64,6 +64,7 @@ def generate_pages(
     spark: SparkSession,
     n: int,
     *,
+    start: int = 0,
     labels: list[str] | None = None,
     hub_label: str = HUB_LABEL,
     mention_rate_pct: int = 50,
@@ -88,7 +89,12 @@ def generate_pages(
             f"(got {n_sentences}, {words_per_sentence})"
         )
     labels = labels or DEFAULT_LABELS
-    base = spark.range(n).select(F.col("id").alias("i"))
+    # `start` shards the deterministic corpus: pages [start, start+n) are
+    # identical whether generated here or as part of a larger range —
+    # content derives only from the row index. Executor-sharded runs
+    # (bench executors mode) give each worker JVM a disjoint range whose
+    # union IS the full corpus.
+    base = spark.range(start, start + n).select(F.col("id").alias("i"))
 
     def h(*salts: int) -> Column:
         cols = [F.col("i")] + [F.lit(s) for s in salts]
