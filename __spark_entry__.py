@@ -460,6 +460,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup/embedding-cosine near-dup: LSH-bucketed candidate pairs,
+    exact-cosine rerank at cutoff 0.35 — the DuckDB oracle replays the
+    md5-seeded hyperplanes, banding, self-join, and rerank."""
+    from sssom_curator_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(emb, id_col="vec_id", cutoff=0.35)
+
+
 def q_curation_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9: curation state machine, ALL FIVE marks (correct/incorrect/
     unsure/BROAD/NARROW) plus the ineligible-row no-op, differentially
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curie_standardize": q_curie_standardize,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
         "curation_marks": q_curation_marks,
         "kg_pipeline": q_kg_pipeline,
         "contributor_counts": q_contributor_counts,
@@ -1177,6 +1188,37 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH planes AS (
+              SELECT p.p, d.d,
+                     (('0x' || substr(md5(p.p || '|' || d.d), 1, 8))::UBIGINT)::DOUBLE
+                       / 2147483647.0 - 1.0 AS v
+              FROM generate_series(0, 15) p(p), generate_series(0, 63) d(d)
+            ),
+            dots AS (
+              SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::DOUBLE * pl.v) AS dot
+              FROM embeddings e, planes pl
+              GROUP BY e.vec_id, pl.p
+            ),
+            bandkeys AS (
+              SELECT vec_id, (p // 4) AS band,
+                     string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS key
+              FROM dots GROUP BY vec_id, (p // 4)
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.key = b.key
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 4) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.doc_a
+            JOIN embeddings eb ON eb.vec_id = c.doc_b
+            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]), 4) >= 0.35
         """,
         # golden-transition replication of the five-mark curation state
         # machine (reference wsgi_cases.py:199-323): same constructed input

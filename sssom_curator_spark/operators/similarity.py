@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim_col", "cosine_topk_exact", "cosine_topk_lsh"]
+__all__ = ["cosine_sim_col", "cosine_topk_exact", "cosine_topk_lsh", "cosine_near_duplicates"]
 
 
 def cosine_sim_col(a: Column, b: Column, *, decimals: int = 4) -> Column:
@@ -158,4 +158,79 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    cutoff: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(doc_a, doc_b, cosine)``
+    with ``doc_a < doc_b`` and cosine ≥ ``cutoff`` — the embedding member
+    of the dedup family (exact/MinHash/SimHash/Jaccard siblings in
+    :mod:`sssom_curator_spark.operators.dedup`).
+
+    Candidates come from the same md5-seeded random-hyperplane banding as
+    :func:`cosine_topk_lsh` (self-join on (band, key) — per-bucket sized,
+    never n²); candidates rerank with the exact JVM cosine and the cutoff
+    applies to the exact score. Recall is tunable via (n_planes, bands);
+    near-duplicates (cosine → 1) collide in every band by construction.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    rows_per_band = n_planes // bands
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in planes[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bandcols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*bandcols)).alias("bk")
+    ).select(
+        F.col(id_col), F.col(vec_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", cosine_sim_col(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= cutoff)
     )
