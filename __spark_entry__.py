@@ -460,6 +460,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload header decode (Arrow-batched
+    python kernel over a deterministic fake format) + frame-sampling row
+    explosion; media constructed from `part` keys so the DuckDB oracle
+    replays the metadata arithmetic exactly."""
+    from sssom_curator_spark.operators.multimodal import (
+        MEDIA_MAGIC,
+        image_metadata,
+        sample_frames,
+    )
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    pk = F.col("p_partkey")
+    w = (pk % 320 + 16).cast("int")
+    h = (pk % 240 + 16).cast("int")
+    header = F.concat(
+        F.lit(MEDIA_MAGIC),
+        F.lit(bytes([1])),
+        F.unhex(F.lpad(F.hex(w), 4, "0")),
+        F.unhex(F.lpad(F.hex(h), 4, "0")),
+        F.md5(pk.cast("string")).cast("binary"),
+    )
+    media = part.select(
+        F.concat(F.lit("img-"), pk.cast("string")).alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        header.alias("payload"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            F.length(header).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    meta = image_metadata(media)
+    frames = sample_frames(media, every_n=10, max_frames=5)
+    return frames.join(meta, on="media_id").select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("frame_offset").cast("long").alias("frame_offset"),
+        F.col("version").cast("long").alias("version"),
+        "width",
+        "height",
+        "aspect",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup/embedding-cosine near-dup: LSH-bucketed candidate pairs,
     exact-cosine rerank at cutoff 0.35 — the DuckDB oracle replays the
@@ -701,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curie_standardize": q_curie_standardize,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
+        "media_frames": q_media_frames,
         "embedding_neardup": q_embedding_neardup,
         "curation_marks": q_curation_marks,
         "kg_pipeline": q_kg_pipeline,
@@ -1188,6 +1233,25 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "media_frames": """
+            WITH m AS (
+              SELECT 'img-' || CAST(p_partkey AS VARCHAR) AS media_id,
+                     (p_partkey % 320 + 16)::INT AS width,
+                     (p_partkey % 240 + 16)::INT AS height,
+                     44::BIGINT AS n_bytes
+              FROM part WHERE p_partkey < 200
+            ),
+            f AS (
+              SELECT m.*, unnest(generate_series(
+                       0, least(5, greatest((n_bytes // 10)::INT, 1)) - 1
+                     )) AS fi
+              FROM m
+            )
+            SELECT media_id, fi::BIGINT AS frame_index,
+                   (fi * 10)::BIGINT AS frame_offset, 1::BIGINT AS version,
+                   width, height, round(width * 1.0 / height, 4) AS aspect
+            FROM f
         """,
         "embedding_neardup": """
             WITH planes AS (
