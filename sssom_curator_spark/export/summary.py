@@ -27,6 +27,7 @@ __all__ = [
     "incomplete_components",
     "zero_filled_histogram",
     "chart_data",
+    "mapping_graph_edges",
 ]
 
 
@@ -195,3 +196,28 @@ def chart_data(repository: DataFrame) -> dict:
         "prefixes": {r["prefix"]: int(r["count"]) for r in prefixes.collect()},
         "relations": {r["relation"]: int(r["count"]) for r in relations.collect()},
     }
+
+
+def mapping_graph_edges(
+    repository: DataFrame,
+    *,
+    include_predicates: list[str] | None = None,
+    exclude_predicates: list[str] | None = None,
+    statuses: tuple[str, ...] = ("positive",),
+) -> DataFrame:
+    """F7/G2 parameterized graph construction (reference
+    ``_graph_from_mappings``, export/charts.py:187-218: include/exclude
+    predicate sets gate which mappings become edges; negated rows never
+    do). Returns ``(src, dst, relation)`` edges."""
+    out = repository.filter(
+        F.col("status").isin(list(statuses)) & F.col("predicate_modifier").isNull()
+    )
+    if exclude_predicates:
+        out = out.filter(~F.col("predicate_id").isin(exclude_predicates))
+    if include_predicates:
+        out = out.filter(F.col("predicate_id").isin(include_predicates))
+    return out.select(
+        F.col("subject_id").alias("src"),
+        F.col("object_id").alias("dst"),
+        F.col("predicate_id").alias("relation"),
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "redundancy_report",
     "paginate",
     "canonical_sort",
+    "enrich_names",
 ]
 
 
@@ -238,3 +239,24 @@ def paginate(
     for c in tiebreak or CANONICAL_SORT_COLUMNS[:3]:
         keys.append(F.col(c).asc())
     return df.orderBy(*keys).offset(offset).limit(limit)
+
+
+def enrich_names(mappings: DataFrame, labels: DataFrame) -> DataFrame:
+    """J9 name-enrichment lookup join: fill missing subject/object labels
+    from the (dimension-sized, broadcast) label index by CURIE (reference
+    looks names up per-node while building graphs/views —
+    export/charts.py:129-141 idiom). Existing labels win; unknown CURIEs
+    pass through with their label unchanged."""
+    dim = labels.select(
+        F.concat_ws(":", "prefix", "identifier").alias("_curie"),
+        F.col("name").alias("_name"),
+    ).groupBy("_curie").agg(F.min("_name").alias("_name"))
+    s = dim.select(F.col("_curie").alias("_s_curie"), F.col("_name").alias("_s_name"))
+    o = dim.select(F.col("_curie").alias("_o_curie"), F.col("_name").alias("_o_name"))
+    return (
+        mappings.join(F.broadcast(s), mappings["subject_id"] == F.col("_s_curie"), "left")
+        .join(F.broadcast(o), F.col("object_id") == F.col("_o_curie"), "left")
+        .withColumn("subject_label", F.coalesce("subject_label", F.col("_s_name")))
+        .withColumn("object_label", F.coalesce("object_label", F.col("_o_name")))
+        .drop("_s_curie", "_s_name", "_o_curie", "_o_name")
+    )

@@ -128,3 +128,67 @@ class TestQueryState:
     def test_pagination_defaults(self, spark):
         out = apply_state(_repo(spark), QueryState())
         assert out.count() == 4  # limit 10 > 4 rows
+
+
+class TestEnrichNames:
+    def test_missing_labels_filled_existing_win(self, spark):
+        from sssom_curator_spark.operators.relational import enrich_names
+        from sssom_curator_spark.sources.fixtures import seed_labels
+
+        rows = [
+            ("CHEBI:61700", None, "mesh:C506706", "kept-label"),
+            ("CHEBI:9921", None, "unknown:X", None),
+        ]
+        maps = spark.createDataFrame(
+            rows, "subject_id string, subject_label string, object_id string, object_label string"
+        )
+        out = {
+            r["subject_id"]: (r["subject_label"], r["object_label"])
+            for r in enrich_names(maps, seed_labels(spark)).collect()
+        }
+        assert out["CHEBI:61700"] == ("(+)-valencene", "kept-label")
+        assert out["CHEBI:9921"] == ("visnadin", None)
+
+
+class TestMappingGraphEdges:
+    def test_include_exclude_predicates(self, spark):
+        import datetime
+
+        from sssom_curator_spark.export.summary import mapping_graph_edges
+        from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+        def row(s, o, pred, status="positive", modifier=None):
+            base = {f.name: None for f in MAPPING_SCHEMA.fields}
+            base.update(
+                subject_id=s, predicate_id=pred, object_id=o,
+                mapping_justification="semapv:ManualMappingCuration",
+                predicate_modifier=modifier, status=status,
+                mapping_date=datetime.date(2026, 1, 1),
+            )
+            return base
+
+        repo = spark.createDataFrame(
+            [
+                row("a:1", "b:1", "skos:exactMatch"),
+                row("a:2", "b:2", "skos:broadMatch"),
+                row("a:3", "b:3", "skos:exactMatch", modifier="Not"),
+                row("a:4", "b:4", "skos:exactMatch", status="predicted"),
+            ],
+            MAPPING_SCHEMA,
+        )
+        all_pos = {r["src"] for r in mapping_graph_edges(repo).collect()}
+        assert all_pos == {"a:1", "a:2"}  # Not-modified + predicted dropped
+        only_exact = {
+            r["src"]
+            for r in mapping_graph_edges(
+                repo, include_predicates=["skos:exactMatch"]
+            ).collect()
+        }
+        assert only_exact == {"a:1"}
+        no_broad = {
+            r["src"]
+            for r in mapping_graph_edges(
+                repo, exclude_predicates=["skos:broadMatch"]
+            ).collect()
+        }
+        assert no_broad == {"a:1"}
