@@ -73,12 +73,14 @@ def embedding_similarity_join(
     # Guardrail: the collect below is correct-by-design only while the
     # target is dimension-sized (an ontology's embedding table). A
     # corpus-sized target would OOM the *driver* — fail fast with a
-    # pointer at the scale path instead.
+    # pointer at the scale path instead. The check is folded into the
+    # collect itself (take(limit+1) of the projection we need anyway), so
+    # it costs ZERO extra Spark jobs.
     limit = int(
         spark.conf.get("spark.sssom.embedding.maxBroadcastTargetRows", "2000000")
     )
-    over = target.select(id_col).limit(limit + 1).count()
-    if over > limit:
+    rows = target.select(id_col, vec_col).take(limit + 1)
+    if len(rows) > limit:
         raise ValueError(
             f"embedding_similarity_join target exceeds {limit} rows; it is "
             "collected to the driver and broadcast. For corpus-sized targets "
@@ -86,7 +88,6 @@ def embedding_similarity_join(
             "or cosine_topk_exact. Raise "
             "spark.sssom.embedding.maxBroadcastTargetRows to override."
         )
-    rows = target.select(id_col, vec_col).collect()
     t_ids = np.array([r[id_col] for r in rows], dtype=object)
     t_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     if len(rows):

@@ -17,11 +17,14 @@ J4 broadcast cosine join). Two regimes:
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["cosine_sim_col", "cosine_topk_exact", "cosine_topk_lsh", "cosine_near_duplicates"]
 
@@ -75,15 +78,85 @@ def cosine_topk_exact(
     )
 
 
+@lru_cache(maxsize=8)
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component (p, d) from
-    md5(p|d) mapped to [-1, 1]. No RNG state, identical on every executor."""
+    md5(p|d) mapped to [-1, 1]. No RNG state, identical on every executor
+    (rebuilt worker-side from the seed rule, cached per process)."""
     planes = np.empty((n_planes, dim))
     for p in range(n_planes):
         for d in range(dim):
             h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
             planes[p, d] = (h / 0x7FFFFFFF) - 1.0
     return planes
+
+
+def _signature_udf(n_planes: int):
+    """Arrow-batched scalar UDF: embedding → ``n_planes``-char sign-bit
+    string (``"1"`` where ``vec · plane_p ≥ 0``).
+
+    Scale design: the plane matrix NEVER enters the Catalyst plan — at
+    production dims (768–4096) embedding it as column literals would put
+    n_planes×dim expression nodes into analysis/codegen (plan-size blowup,
+    methods too large to JIT). Instead each python worker rebuilds the
+    deterministic matrix once (lru_cache above) and every Arrow batch does
+    ONE ``(batch × dim) @ (dim × n_planes)`` matmul; the bit-string
+    assembly is vectorized (byte matrix → fixed-width S-string view), so
+    there is no per-row Python anywhere. Plan size is O(1) in dim.
+
+    The dimension is inferred from the data batch-side, so empty inputs
+    flow through as empty results with no driver-side ``first()`` probe.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def sig(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        if vs.isna().any():
+            raise ValueError(
+                "LSH signature input contains a null embedding vector; "
+                "filter nulls before cosine_topk_lsh/cosine_near_duplicates"
+            )
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        planes = _hyperplanes(mat.shape[1], n_planes)
+        bits = (mat @ planes.T) >= 0  # (batch, n_planes)
+        chars = np.where(bits, np.uint8(ord("1")), np.uint8(ord("0")))
+        packed = np.frombuffer(
+            np.ascontiguousarray(chars).tobytes(), dtype=f"S{n_planes}"
+        )
+        return pd.Series(packed).str.decode("ascii")
+
+    return sig
+
+
+def _banded(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    bands: int,
+    id_alias: str,
+) -> DataFrame:
+    """``(id_alias, band, key)`` rows: one row per (vector, band), key =
+    that band's slice of the sign-bit signature. The exploded frame carries
+    only the id and a ≤n_planes-char string — the embedding itself never
+    rides through the bucket join or the candidate distinct."""
+    rows_per_band = n_planes // bands
+    with_sig = df.select(
+        F.col(id_col).alias(id_alias),
+        _signature_udf(n_planes)(F.col(vec_col)).alias("_sig"),
+    )
+    bandcols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return with_sig.select(
+        id_alias, F.explode(F.array(*bandcols)).alias("bk")
+    ).select(id_alias, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def cosine_topk_lsh(
@@ -102,56 +175,38 @@ def cosine_topk_lsh(
     corpus row is a candidate for a query iff they share any band value.
     Candidates rerank with the exact JVM cosine. Recall is tunable via
     (n_planes, bands); the shuffle is per-band bucket-sized.
+
+    Scale shape: signatures come from one Arrow-batch matmul per batch
+    (plan size O(1) in dim — see :func:`_signature_udf`); the bucket join
+    and the candidate ``distinct`` carry ONLY id pairs (never embedding
+    payloads — at 768-d that would be ~6 KB of shuffle per candidate row);
+    vectors re-attach afterwards by joining back to the embedding frames,
+    exactly as the DuckDB oracle replays it.
     """
-    dim = len(queries.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    rows_per_band = n_planes // bands
-
-    def sig_cols(df: DataFrame, out: str) -> DataFrame:
-        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        bits = []
-        for p in range(n_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        bandcols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
-            )
-            for b in range(bands)
-        ]
-        return df.select(
-            F.col(id_col), F.col(vec_col), F.explode(F.array(*bandcols)).alias(out)
-        )
-
-    qs = sig_cols(queries, "qb").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("qb.band").alias("band"),
-        F.col("qb.key").alias("key"),
+    qb = _banded(
+        queries, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, bands=bands, id_alias="query_id",
     )
-    cs = sig_cols(corpus, "cb").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col("cb.band").alias("band"),
-        F.col("cb.key").alias("key"),
+    cb = _banded(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, bands=bands, id_alias="neighbor_id",
     )
     cand = (
-        qs.join(cs, on=["band", "key"])
+        qb.join(cb, on=["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_sim_col(F.col("_qv"), F.col("_cv")).alias("cosine")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id").asc())
     return (
@@ -180,35 +235,14 @@ def cosine_near_duplicates(
     never n²); candidates rerank with the exact JVM cosine and the cutoff
     applies to the exact score. Recall is tunable via (n_planes, bands);
     near-duplicates (cosine → 1) collide in every band by construction.
-    """
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    rows_per_band = n_planes // bands
 
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bits = []
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(v)) for v in planes[p]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bandcols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*bandcols)).alias("bk")
-    ).select(
-        F.col(id_col), F.col(vec_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    Same scale shape as :func:`cosine_topk_lsh`: Arrow-batch signatures
+    (plan size O(1) in dim), id-pair-only candidate distinct, vectors
+    re-attached by joining back to the embedding frame.
+    """
+    banded = _banded(
+        df, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, bands=bands, id_alias="_bid",
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -217,19 +251,18 @@ def cosine_near_duplicates(
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.key") == F.col("r.key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                F.col("l._bid") < F.col("r._bid"),
             ],
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.col(f"l.{vec_col}").alias("_va"),
-            F.col(f"r.{vec_col}").alias("_vb"),
-        )
+        .select(F.col("l._bid").alias("doc_a"), F.col("r._bid").alias("doc_b"))
         .distinct()
     )
+    va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.select(
+        cand.join(va, on="doc_a")
+        .join(vb, on="doc_b")
+        .select(
             "doc_a", "doc_b", cosine_sim_col(F.col("_va"), F.col("_vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= cutoff)

@@ -103,6 +103,58 @@ class TestTopK:
             assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+class TestProductionDims:
+    """The LSH family must stay plan-size O(1) in embedding width: the old
+    implementation embedded the hyperplane matrix as n_planes×dim column
+    literals (12k–65k expression nodes at 768–4096-d — analysis/codegen
+    blowup); the Arrow-batched signature UDF keeps the matrix out of the
+    plan entirely."""
+
+    def test_lsh_plan_builds_fast_and_runs_at_768d(self, spark):
+        import time
+
+        from sssom_curator_spark.operators.similarity import (
+            cosine_near_duplicates,
+            cosine_topk_lsh,
+        )
+
+        dim = 768
+        emb = spark.createDataFrame(
+            [
+                (str(i), [((i * 37 + j * 13) % 19 - 9) / 9.0 for j in range(dim)])
+                for i in range(8)
+            ]
+            + [("dup7", [((7 * 37 + j * 13) % 19 - 9) / 9.0 for j in range(dim)])],
+            "id string, embedding array<float>",
+        )
+        t0 = time.monotonic()
+        topk = cosine_topk_lsh(emb.limit(3), emb, k=3)
+        near = cosine_near_duplicates(emb, cutoff=0.99)
+        # plan construction + analysis must be bounded — with literal planes
+        # this took unbounded time/size in dim
+        assert time.monotonic() - t0 < 10
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert topk.count() > 0
+        # the planted exact duplicate collides in every band and survives
+        pairs = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
+        assert ("7", "dup7") in pairs
+
+    def test_lsh_empty_and_null_inputs(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.similarity import cosine_near_duplicates
+
+        empty = spark.createDataFrame([], "id string, embedding array<float>")
+        assert cosine_near_duplicates(empty).collect() == []
+        withnull = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", None)], "id string, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="null embedding"):
+            cosine_near_duplicates(withnull).collect()
+
+
 class TestBroadcastGuardrail:
     def test_oversized_target_raises(self, spark):
         import pytest
