@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from sssom_curator_spark.functions.curie_ops import record_hash
 
-__all__ = ["MARK_TO_STATUS", "MARK_TO_PREDICATE", "apply_marks", "with_record_id"]
+__all__ = [
+    "MARK_TO_STATUS",
+    "MARK_TO_PREDICATE",
+    "apply_marks",
+    "with_record_id",
+    "CurationSession",
+]
 
 #: Routing of marks to repository states (memory.py MARK_TO_CALL semantics;
 #: BROAD/NARROW land in positive per the golden models wsgi_cases.py:69-85).
@@ -152,3 +158,65 @@ def apply_marks(
     )
     # Curated rows get a fresh content hash (identity tuple changed).
     return out.withColumn("record_id", record_hash())
+
+
+class CurationSession:
+    """A8 running curation counters around the mark/persist lifecycle.
+
+    Mirrors the reference's controller counters: ``total_curated``
+    increments per applied mark and never resets (base.py:40,72-74 — it
+    feeds the remote-persist commit message), while ``count_unpersisted()``
+    tracks curations not yet flushed and resets on ``persist()``
+    (memory.py:118,125-136).
+
+    Spark disposition: the counters are driver-side ints (curation volume
+    is human-scale); the one distributed cost per batch is a broadcast
+    left-semi count of marks that actually hit an eligible ``predicted``
+    row — marks on non-predictions are no-ops and must not count, exactly
+    like the reference's KeyError guard filtering the pop from
+    ``_predictions``.
+    """
+
+    def __init__(self, repository: DataFrame) -> None:
+        self.repository = with_record_id(repository)
+        self.total_curated = 0
+        self._unpersisted = 0
+
+    def mark(
+        self,
+        marks: DataFrame,
+        *,
+        author: str,
+        today: datetime.date | None = None,
+        add_date: bool = True,
+    ) -> DataFrame:
+        """Apply a batch of marks; returns (and retains) the new table."""
+        applied = (
+            self.repository.filter(F.col("status") == "predicted")
+            .join(
+                F.broadcast(marks.select("record_id").distinct()),
+                on="record_id",
+                how="left_semi",
+            )
+            .count()
+        )
+        self.repository = apply_marks(
+            self.repository, marks, author=author, today=today, add_date=add_date
+        )
+        self.total_curated += applied
+        self._unpersisted += applied
+        return self.repository
+
+    def count_unpersisted(self) -> int:
+        """Curations applied since the last ``persist()``."""
+        return self._unpersisted
+
+    def persist(self, path: str | None = None) -> int:
+        """Flush: optionally write the table, reset the unpersisted
+        counter (memory.py:129-136 clears ``curations``), return how many
+        curations were flushed. ``total_curated`` is untouched."""
+        flushed = self._unpersisted
+        if path is not None:
+            self.repository.write.mode("overwrite").parquet(path)
+        self._unpersisted = 0
+        return flushed

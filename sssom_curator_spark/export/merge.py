@@ -159,6 +159,22 @@ def merge_to_json(
     return doc
 
 
+#: Prefixes the OWL serializer itself introduces (annotation properties and
+#: typed literals) — always declared, whether or not a mapping CURIE uses
+#: them, so the functional-syntax document never references an undeclared
+#: prefix.
+_OWL_SERIALIZER_PREFIXES = {
+    "sssom": "https://w3id.org/sssom/",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def _owl_literal(value: Any) -> str:
+    """Escape a literal for OWL functional syntax: backslash and double
+    quote are the only characters that break the quoted form."""
+    return str(value).replace("\\", "\\\\").replace('"', '\\"')
+
+
 #: SSSOM slot → annotation property CURIE for the OWL rendering.
 _OWL_SLOT_PREDICATES = {
     "mapping_justification": "sssom:mapping_justification",
@@ -188,8 +204,9 @@ def merge_to_owl(
     Returns the document text (also written to ``path``).
     """
     merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
+    declared = {**_OWL_SERIALIZER_PREFIXES, **sub_map}
     lines = [
-        f"Prefix({p}:=<{u}>)" for p, u in sorted(sub_map.items())
+        f"Prefix({p}:=<{u}>)" for p, u in sorted(declared.items())
     ]
     lines.append(f"Ontology(<{ontology_iri}>")
     for m in _collect_mappings(merged):
@@ -200,11 +217,11 @@ def merge_to_owl(
                 continue
             if isinstance(v, list):
                 for item in v:
-                    annotations.append(f'Annotation({pred} "{item}")')
+                    annotations.append(f'Annotation({pred} "{_owl_literal(item)}")')
             elif isinstance(v, float):
                 annotations.append(f'Annotation({pred} "{v!r}"^^xsd:double)')
             else:
-                annotations.append(f'Annotation({pred} "{v}")')
+                annotations.append(f'Annotation({pred} "{_owl_literal(v)}")')
         ann = (" ".join(annotations) + " ") if annotations else ""
         lines.append(
             f"AnnotationAssertion({ann}{m['predicate_id']} "

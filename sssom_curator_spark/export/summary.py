@@ -14,11 +14,7 @@ from pyspark.sql import functions as F
 
 from sssom_curator_spark.functions.curie_ops import curie_prefix
 from sssom_curator_spark.graph.components import connected_components
-from sssom_curator_spark.operators.relational import (
-    contributor_counts,
-    file_totals,
-    prefix_pair_counts,
-)
+from sssom_curator_spark.operators.relational import contributor_counts
 
 __all__ = [
     "summarize",
@@ -33,17 +29,43 @@ __all__ = [
 
 def summarize(repository: DataFrame) -> dict:
     """YAML-ready summary dict (S8). All aggregates are tiny; collecting
-    them is the correct driver/executor split."""
+    them is the correct driver/executor split.
+
+    TWO Spark jobs total: one ``groupBy(status, least_prefix,
+    greatest_prefix)`` pass yields the per-status pair dict, and — because
+    every mapping contributes both endpoint prefixes to its pair key — the
+    per-status mapping_count (sum of pair counts) and prefix_count
+    (distinct prefixes across pair keys) fall out driver-side for free;
+    the second job is the contributor explode. The previous version issued
+    2 + 2×n_statuses jobs (a file_totals pass, then a filtered
+    prefix_pair_counts pass per status).
+    """
+    from sssom_curator_spark.functions.curie_ops import curie_prefix as _cp
+
+    sp, op = _cp("subject_id"), _cp("object_id")
+    pair_rows = (
+        repository.groupBy(
+            F.col("status"),
+            F.least(sp, op).alias("source_prefix"),
+            F.greatest(sp, op).alias("target_prefix"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("status", F.desc("count"), "source_prefix", "target_prefix")
+        .collect()
+    )
     out: dict = {"files": {}, "contributors": {}}
-    for r in file_totals(repository).collect():
-        out["files"][r["status"]] = {
-            "mapping_count": r["mapping_count"],
-            "prefix_count": r["prefix_count"],
-        }
-        pairs = prefix_pair_counts(repository.filter(F.col("status") == r["status"]))
-        out["files"][r["status"]]["prefix_pairs"] = {
-            f"{p['source_prefix']}-{p['target_prefix']}": p["count"] for p in pairs.collect()
-        }
+    for r in pair_rows:
+        f = out["files"].setdefault(
+            r["status"],
+            {"mapping_count": 0, "prefix_count": set(), "prefix_pairs": {}},
+        )
+        f["mapping_count"] += r["count"]
+        f["prefix_pairs"][f"{r['source_prefix']}-{r['target_prefix']}"] = r["count"]
+        f["prefix_count"].update(
+            p for p in (r["source_prefix"], r["target_prefix"]) if p is not None
+        )
+    for f in out["files"].values():
+        f["prefix_count"] = len(f["prefix_count"])
     for r in contributor_counts(repository).collect():
         out["contributors"][r["author"]] = r["count"]
     return out

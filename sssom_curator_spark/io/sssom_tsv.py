@@ -41,6 +41,7 @@ __all__ = [
     "chain_prefix_maps",
     "lint_frame",
     "write_sssom_tsv",
+    "insert_sssom_tsv",
     "render_metadata_header",
 ]
 
@@ -123,11 +124,80 @@ def read_sssom_url(
     shared storage (S3/HDFS/Iceberg) and point ``read_sssom_tsv`` at it —
     addFile is the parity path for the reference's single-file import.
     """
+    from urllib.parse import urlparse
+
     from pyspark import SparkFiles
 
     spark.sparkContext.addFile(url)
-    name = url.rstrip("/").rsplit("/", 1)[-1]
+    # addFile registers under the basename of the URL *path* — query
+    # strings / fragments (signed URLs) are not part of the name, so parse
+    # properly instead of splitting the raw URL on '/'. Two URLs sharing a
+    # basename collide within a session (addFile itself errors on the
+    # second registration with different contents).
+    name = os.path.basename(urlparse(url).path.rstrip("/"))
     return read_sssom_tsv(spark, SparkFiles.get(name))
+
+
+def conform_to_mapping_schema(df: DataFrame) -> DataFrame:
+    """Project any mapping-shaped frame onto the fixed
+    :data:`MAPPING_SCHEMA`: missing columns become typed nulls, present
+    columns cast to the canonical types. The unionByName building block
+    behind :func:`insert_sssom_tsv`."""
+    present = set(df.columns)
+    projections = []
+    for field in MAPPING_SCHEMA.fields:
+        if field.name in present:
+            projections.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            projections.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*projections)
+
+
+def insert_sssom_tsv(
+    spark: SparkSession,
+    path: str,
+    include_mappings: DataFrame,
+    *,
+    alias_map: dict[str, str] | None = None,
+    exclude_columns: list[str] | None = None,
+    sort: bool = True,
+) -> list[str]:
+    """S4 append-with-lint roundtrip — the reference's daily-driver
+    ``insert()`` verb (constants.py:76-107): read the file, standardize the
+    incoming mappings against its converter, append, and write back
+    through the full lint stack (sort + drop_duplicates + dynamic columns
+    + metadata header preserved).
+
+    ``alias_map`` plays the converter's standardization role (C5) over the
+    CURIE columns of the *incoming* rows (the file's own rows are already
+    canonical, mirroring ``mapping.standardize(converter_processed)``
+    applied only to ``include_mappings``). ``record_id`` stays excluded
+    from serialization exactly as the reference excludes the
+    ``sssom.record`` hash prefix. Returns the serialized column list.
+    """
+    existing, prefix_map, metadata = read_sssom_tsv(spark, path)
+    incoming = conform_to_mapping_schema(include_mappings)
+    if alias_map:
+        from sssom_curator_spark.functions.curie_ops import standardize_curie
+
+        for col in ("subject_id", "object_id", "predicate_id"):
+            incoming = incoming.withColumn(col, standardize_curie(col, alias_map))
+    merged = existing.unionByName(incoming)
+    # The write below truncates `path`, which `existing` still lazily
+    # reads — materialize the union first so the stream never races the
+    # overwrite. The file is human-scale (the reference rewrites it
+    # in-memory per insert); at corpus scale this verb is an Iceberg
+    # append, not a TSV rewrite.
+    merged = merged.localCheckpoint()
+    return write_sssom_tsv(
+        merged,
+        path,
+        prefix_map=prefix_map,
+        metadata=metadata,
+        sort=sort,
+        drop_duplicates=True,
+        exclude_columns=exclude_columns,
+    )
 
 
 def chain_prefix_maps(maps: list[dict[str, str]]) -> dict[str, str]:

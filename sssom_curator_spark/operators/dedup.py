@@ -258,7 +258,10 @@ def simhash(
     token count, not the Python interpreter.
     """
     # tokens: lower + split on whitespace runs, drop empties, distinct —
-    # byte-for-byte the old kernel's `set(text.lower().split())`.
+    # the old kernel's `set(text.lower().split())`, except that regex \s
+    # here (and in the DuckDB oracle, which stays mutually consistent) is
+    # ASCII-only while Python str.split() also breaks on Unicode
+    # whitespace (NBSP, \x85, …) — signatures can differ on such docs.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(

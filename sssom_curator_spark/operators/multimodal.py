@@ -104,22 +104,54 @@ _META_SCHEMA = T.StructType(
 
 def image_metadata(media: DataFrame) -> DataFrame:
     """Header-decode each payload in Arrow batches (real plumbing, stub
-    kernel): one output row per media row."""
+    kernel): one output row per media row.
+
+    The fixed-width header is parsed fully vectorized per batch — the
+    magic/version/width/height bytes of every payload are stacked into one
+    uint8 matrix and decoded with numpy arithmetic, no per-row Python loop
+    (a real decode would be a per-item C call, but the plumbing should
+    model the vectorized shape regardless).
+    """
+    import numpy as np
+
+    hdr_len = len(MEDIA_MAGIC) + 5  # magic + version(1) + width(2) + height(2)
+    magic = np.frombuffer(MEDIA_MAGIC, dtype=np.uint8)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = {"media_id": [], "version": [], "width": [], "height": [], "aspect": []}
-            for mid, payload in zip(batch["media_id"], batch["payload"]):
-                try:
-                    meta = decode_image(payload)
-                except ValueError:
-                    continue
-                rows["media_id"].append(mid)
-                rows["version"].append(meta["version"])
-                rows["width"].append(meta["width"])
-                rows["height"].append(meta["height"])
-                rows["aspect"].append(round(meta["width"] / meta["height"], 4))
-            yield pd.DataFrame(rows)
+            if batch.empty:
+                yield pd.DataFrame(
+                    {"media_id": [], "version": [], "width": [], "height": [], "aspect": []}
+                )
+                continue
+            payloads = batch["payload"]
+            # fixed-width header slice per row → one (n, hdr_len) uint8 matrix
+            heads = np.zeros((len(payloads), hdr_len), dtype=np.uint8)
+            ok = np.zeros(len(payloads), dtype=bool)
+            for i, p in enumerate(payloads):  # byte-slice copy only; all
+                if p is not None and len(p) >= hdr_len:  # parsing is matrix math
+                    heads[i] = np.frombuffer(bytes(p[:hdr_len]), dtype=np.uint8)
+                    ok[i] = True
+            ok &= (heads[:, : len(magic)] == magic).all(axis=1)
+            h = heads[ok]
+            version = h[:, len(magic)].astype(np.int32)
+            width = (
+                h[:, len(magic) + 1].astype(np.int32) * 256
+                + h[:, len(magic) + 2].astype(np.int32)
+            )
+            height = (
+                h[:, len(magic) + 3].astype(np.int32) * 256
+                + h[:, len(magic) + 4].astype(np.int32)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].to_numpy()[ok],
+                    "version": version,
+                    "width": width,
+                    "height": height,
+                    "aspect": np.round(width / height, 4),
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(decode, schema=_META_SCHEMA)
 

@@ -117,3 +117,39 @@ class TestMarks:
         m = self._one(spark, "incorrect")
         assert m["record_id"] != before["chebi:133530"]
         assert len(m["record_id"]) == 64
+
+
+class TestCurationSession:
+    """A8 running counters (reference base.py:40,72-74, memory.py:118,125-136):
+    total_curated accumulates forever; count_unpersisted resets on persist;
+    marks on ineligible (non-predicted) rows count in neither."""
+
+    def test_counter_deltas_across_mark_persist_cycle(self, spark, tmp_path):
+        from sssom_curator_spark.curation.state import CurationSession
+
+        sess = CurationSession(wsgi_repository(spark))
+        assert (sess.total_curated, sess.count_unpersisted()) == (0, 0)
+
+        predicted = sess.repository.filter(F.col("status") == "predicted")
+        n_pred = predicted.count()
+        assert n_pred >= 1
+        sess.mark(
+            predicted.select("record_id", F.lit("correct").alias("mark")),
+            author=USER,
+            today=TODAY,
+        )
+        assert sess.total_curated == n_pred
+        assert sess.count_unpersisted() == n_pred
+
+        out = str(tmp_path / "repo.parquet")
+        assert sess.persist(out) == n_pred
+        assert sess.count_unpersisted() == 0
+        assert sess.total_curated == n_pred  # never reset
+        assert spark.read.parquet(out).count() == sess.repository.count()
+
+        # second batch targets rows that are no longer predicted → no-op
+        stale = sess.repository.select("record_id", F.lit("correct").alias("mark"))
+        already = sess.repository.filter(F.col("status") == "predicted").count()
+        sess.mark(stale, author=USER, today=TODAY)
+        assert sess.total_curated == n_pred + already
+        assert sess.count_unpersisted() == already

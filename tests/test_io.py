@@ -184,7 +184,13 @@ class TestMergeJsonOwl:
             assert fh.read() == text
         lines = text.splitlines()
         assert lines[0] == "Prefix(CHEBI:=<http://purl.obolibrary.org/obo/CHEBI_>)"
-        assert sum(1 for l in lines if l.startswith("Prefix(")) == len(PREFIX_MAP)
+        # serializer-introduced prefixes (sssom:, xsd:) are ALWAYS declared —
+        # the functional-syntax document must never reference an undeclared
+        # prefix, or OWL parsers reject it
+        prefixes = [l for l in lines if l.startswith("Prefix(")]
+        assert "Prefix(sssom:=<https://w3id.org/sssom/>)" in prefixes
+        assert "Prefix(xsd:=<http://www.w3.org/2001/XMLSchema#>)" in prefixes
+        assert len(prefixes) == len(PREFIX_MAP) + 2
         axioms = [l for l in lines if l.startswith("AnnotationAssertion(")]
         assert len(axioms) == 4  # one per merged mapping, canonical order
         assert axioms[1] == (
@@ -196,6 +202,12 @@ class TestMergeJsonOwl:
         )
         # negative mapping reifies the predicate modifier
         assert 'Annotation(sssom:predicate_modifier "Not")' in axioms[0]
+
+    def test_owl_literals_escaped(self):
+        from sssom_curator_spark.export.merge import _owl_literal
+
+        assert _owl_literal('say "hi"') == 'say \\"hi\\"'
+        assert _owl_literal("back\\slash") == "back\\\\slash"
 
 
 class TestUrlScan:
@@ -309,3 +321,72 @@ class TestPartitionedMappingTable:
         plan = sliced._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan
         assert "subject_prefix" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+class TestInsert:
+    """S4 append-with-lint roundtrip (reference constants.py:76-107): read
+    the scaffolded predictions file, standardize + append a new prediction,
+    write back through the lint stack — byte-exact."""
+
+    GOLDEN_AFTER_INSERT = """#curie_map:
+#  CHEBI: http://purl.obolibrary.org/obo/CHEBI_
+#  mesh: http://id.nlm.nih.gov/mesh/
+#  orcid: https://orcid.org/
+#  semapv: https://w3id.org/semapv/vocab/
+#  skos: http://www.w3.org/2004/02/skos/core#
+#  wikidata: http://www.wikidata.org/entity/
+#mapping_set_id: https://example.org/ms/predictions.sssom.tsv
+subject_id\tsubject_label\tpredicate_id\tobject_id\tobject_label\tmapping_justification\tmapping_tool\tmapping_tool_id\tmapping_tool_version\tconfidence
+CHEBI:101096\tethoxzolamide\tskos:exactMatch\tmesh:C523270\t6-ethoxybenzothiazole-2-sulfonamide\tsemapv:LexicalMatching\tsssom-curator\twikidata:Q138902949\t0.4.2\t0.77
+CHEBI:200000\taspirin-like\tskos:exactMatch\tmesh:C000001\ttest target\tsemapv:LexicalMatching\tsssom-curator\twikidata:Q138902949\t0.4.2\t0.5
+"""
+
+    def test_insert_roundtrip_byte_exact(self, spark, tmp_path):
+        from sssom_curator_spark.initialize import initialize_project
+        from sssom_curator_spark.io.sssom_tsv import insert_sssom_tsv
+
+        initialize_project(
+            spark, str(tmp_path / "proj"), mapping_set_id="https://example.org/ms/x"
+        )
+        path = str(tmp_path / "proj" / "data" / "predictions.sssom.tsv")
+        new = spark.createDataFrame(
+            [
+                (
+                    "chebi:200000",  # lowercase: exercises standardization
+                    "aspirin-like",
+                    "skos:exactMatch",
+                    "mesh:C000001",
+                    "test target",
+                    "semapv:LexicalMatching",
+                    "sssom-curator",
+                    "wikidata:Q138902949",
+                    "0.4.2",
+                    0.5,
+                )
+            ],
+            "subject_id string, subject_label string, predicate_id string, "
+            "object_id string, object_label string, mapping_justification string, "
+            "mapping_tool string, mapping_tool_id string, mapping_tool_version string, "
+            "confidence double",
+        )
+        insert_sssom_tsv(spark, path, new, alias_map={"chebi": "CHEBI"})
+        with open(path) as fh:
+            assert fh.read() == self.GOLDEN_AFTER_INSERT
+
+    def test_insert_is_idempotent_on_duplicates(self, spark, tmp_path):
+        from sssom_curator_spark.initialize import initialize_project
+        from sssom_curator_spark.io.sssom_tsv import (
+            insert_sssom_tsv,
+            read_sssom_tsv,
+        )
+
+        initialize_project(
+            spark, str(tmp_path / "proj"), mapping_set_id="https://example.org/ms/x"
+        )
+        path = str(tmp_path / "proj" / "data" / "predictions.sssom.tsv")
+        existing, _, _ = read_sssom_tsv(spark, path)
+        n0 = existing.count()
+        # re-inserting the file's own rows dedups away
+        insert_sssom_tsv(spark, path, read_sssom_tsv(spark, path)[0])
+        back, _, _ = read_sssom_tsv(spark, path)
+        assert back.count() == n0

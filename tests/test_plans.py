@@ -108,3 +108,22 @@ class TestCodegenCoverage:
         plan = _plan(simhash(docs))
         assert "PythonUDF" not in plan
         assert "MapInPandas" not in plan
+
+    def test_simhash_aggregates_stay_in_wholestage_codegen(self, spark):
+        """The 64-sum HashAggregate must not fall out of whole-stage codegen
+        (spark.sql.codegen.maxFields default 100 > 65 buffer fields — pin it
+        so a future agg-width change that crosses the limit is caught).
+        AQE hides codegen stage markers in unexecuted plans, so inspect with
+        adaptive off."""
+        import re
+
+        from sssom_curator_spark.operators.dedup import simhash
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            docs = _table(spark, "documents")
+            plan = _plan(simhash(docs))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        codegen_ops = re.findall(r"\*\(\d+\)\s+(\w+)", plan)
+        assert codegen_ops.count("HashAggregate") == 2, plan
