@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -602,6 +604,81 @@ def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q_kg_evidence_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-boost arithmetic in the hard signal (pipeline.py:272-281):
+    planted label pairs whose lexical confidence is sub-cutoff (scored by
+    the logistic feature scorer — the label index carries an embedding
+    column, so the rescoring path is active) and which cross the 0.65
+    cutoff ONLY via saturated corpus evidence.
+
+    Construction (all hand-derivable, generator is deterministic):
+
+    - pair A ``mesh:A1→CHEBI:1`` scores 0.378 pre-boost; its SUBJECT label
+      is a planted page surface with ≥10 distinct docs → boost saturates at
+      0.5 → round(0.378 + 0.622·0.5, 3) = 0.689 ≥ 0.65 → kept;
+    - pair C ``mesh:B2→CHEBI:2`` scores 0.393; only its OBJECT label is a
+      surface (subject label never appears as an index norm_text), so the
+      row survives (0.697) ONLY if the boost takes the greatest side's
+      evidence — pins the greatest() choice;
+    - pair B ``mesh:B3→CHEBI:3`` scores 0.223 with NO page evidence →
+      dropped (and 0.223 + 0.777·0.5 = 0.612 < 0.65, so it stays dropped
+      even if evidence were wrongly attached — magnitude control);
+    - anchor ``mesh:V1→CHEBI:555`` is an exact-text pair → 1.0, kept.
+
+    The mention rate is 100% over the two tocopherol surfaces across 300
+    pages (~80% pass the en language gate), so each surface's distinct-doc
+    count is far above the 10-doc saturation point in every deterministic
+    outcome — the boost is exactly 0.5 and the oracle VALUES are exact.
+    """
+    from sssom_curator_spark.pipeline import build_kg
+    from sssom_curator_spark.schema import LABELS_SCHEMA
+    from sssom_curator_spark.sources.pages import generate_pages
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    rows = [
+        # (prefix, identifier, name, norm_text): norm_text is the lexical
+        # index key (synonym aliases share a key with a different name —
+        # that is what makes the pair's lexical score sub-1.0)
+        ("mesh", "A1", "alpha tocopherol acetate", "alpha tocopherol acetate"),
+        ("CHEBI", "1", "tocopherol acetate", "alpha tocopherol acetate"),
+        ("mesh", "B2", "beta tocopherol acetate", "tocopherol acetate"),
+        ("CHEBI", "2", "tocopherol acetate", "tocopherol acetate"),
+        ("mesh", "B3", "gamma sitosterol", "gamma sitosterol"),
+        ("CHEBI", "3", "sitosterol", "gamma sitosterol"),
+        ("mesh", "V1", "visnadin", "visnadin"),
+        ("CHEBI", "555", "visnadin", "visnadin"),
+    ]
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "prefix": p,
+                    "identifier": i,
+                    "name": n,
+                    "norm_text": t,
+                    "is_synonym": n != t,
+                    "source_version": "2026-01",
+                }
+                for p, i, n, t in rows
+            ]
+        ),
+        LABELS_SCHEMA,
+    ).withColumn("embedding", F.lit(None).cast("array<double>"))
+    pages = generate_pages(
+        spark,
+        300,
+        labels=["alpha tocopherol acetate", "tocopherol acetate"],
+        mention_rate_pct=100,
+        hub_rate_pct=0,
+    )
+    out = build_kg(spark, pages, labels, materialize=False)
+    result = out["mappings"].select(
+        "subject_id", "predicate_id", "object_id", "confidence"
+    ).localCheckpoint()
+    out["mappings"].unpersist()
+    return result
+
+
 def q_contributor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: contributor counter — explode the author array, keep ORCID-
     prefixed ids, most-common ordering (export/summary.py:83-99 + O3)."""
@@ -749,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "curation_marks": q_curation_marks,
         "kg_pipeline": q_kg_pipeline,
+        "kg_evidence_boost": q_kg_evidence_boost,
         "contributor_counts": q_contributor_counts,
         "redundancy_report": q_redundancy_report,
         "curie_uri_expand": q_curie_uri_expand,
@@ -1333,6 +1411,20 @@ def oracle_sql() -> dict[str, str]:
               ('mesh:D024502', 'skos:exactMatch', 'CHEBI:18145', 1.0::DOUBLE),
               ('mesh:C002563', 'skos:exactMatch', 'CHEBI:28499', 1.0::DOUBLE),
               ('mesh:C067604', 'skos:exactMatch', 'CHEBI:9921',  1.0::DOUBLE)
+            ) AS t(subject_id, predicate_id, object_id, confidence)
+        """,
+        # Hand-derived expected set for the evidence-boost probe. The two
+        # sub-cutoff confidences are exact: the logistic feature scores
+        # (0.378, 0.393 — computable by hand from the affix/jaccard/len
+        # features and the fixed SCORING_WEIGHTS) pass the 0.65 cutoff only
+        # after the saturated boost conf' = round(conf + (1-conf)*0.5, 3).
+        # The 0.223-scoring pair is absent (no evidence; 0.612 < 0.65 even
+        # boosted), and the exact anchor stays at 1.0.
+        "kg_evidence_boost": """
+            SELECT * FROM (VALUES
+              ('mesh:A1', 'skos:exactMatch', 'CHEBI:1',   0.689::DOUBLE),
+              ('mesh:B2', 'skos:exactMatch', 'CHEBI:2',   0.697::DOUBLE),
+              ('mesh:V1', 'skos:exactMatch', 'CHEBI:555', 1.0::DOUBLE)
             ) AS t(subject_id, predicate_id, object_id, confidence)
         """,
     }
