@@ -148,17 +148,77 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
     return result
 
 
+def _pin_executor_jvms(slices: list[str], expected: int, *, timeout: float = 120.0) -> list[int]:
+    """Pin each local-cluster executor JVM (and, by fork inheritance, the
+    python workers it later spawns) to its own core slice.
+
+    local-cluster executors are separate child JVMs forked by the worker
+    threads inside the driver JVM; they inherit the *driver's* taskset
+    affinity at fork, so they must be re-pinned before any compute runs.
+    ``taskset -a`` applies the mask to every thread of the JVM (plain
+    ``taskset -p`` would move only the main thread). Descendant check
+    keeps co-resident runner processes (the other frozen level) out.
+    """
+    import glob
+    import subprocess
+    import time as _time
+
+    me = os.getpid()
+
+    def is_descendant(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, IndexError, ValueError):
+                return False
+            if pid == me:
+                return True
+            seen += 1
+        return False
+
+    deadline = _time.monotonic() + timeout
+    execs: list[int] = []
+    while _time.monotonic() < deadline:
+        execs = []
+        for path in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                with open(path, "rb") as fh:
+                    cmd = fh.read().decode(errors="replace")
+            except OSError:
+                continue
+            if "CoarseGrainedExecutorBackend" in cmd:
+                pid = int(path.split("/")[2])
+                if is_descendant(pid):
+                    execs.append(pid)
+        if len(execs) >= expected:
+            break
+        _time.sleep(0.5)
+    if len(execs) < expected:
+        raise RuntimeError(f"only {len(execs)}/{expected} executor JVMs appeared")
+    execs.sort()
+    for pid, core_slice in zip(execs, slices):
+        subprocess.run(
+            ["taskset", "-a", "-p", "-c", core_slice, str(pid)],
+            check=True,
+            capture_output=True,
+        )
+    return execs
+
+
 def _runner_main() -> None:
     """Live-JVM runner subprocess for the interleaved scaling bench.
 
-    Builds a session at $SPARK_GRAFT_CPUS, generates+caches the benchmark
-    corpus, warms the pipeline, prints ``READY`` and then serves a tiny
-    stdin protocol: ``RUN`` → one timed pipeline execution, reply
-    ``WALL <sec>``; ``QUIT`` → shut down. Keeping the JVM alive lets the
-    orchestrator alternate trials across cluster levels within a narrow
-    time window — this host's deliverable CPU capacity fluctuates ~2×
-    over minutes, so back-to-back sequential level runs are not
-    comparable.
+    Builds a session at $SPARK_GRAFT_CPUS (or $BENCH_MASTER — e.g.
+    ``local-cluster[4,4,5120]`` for real executor JVMs running ONE global
+    job), generates+caches the benchmark corpus, warms the pipeline,
+    prints ``READY`` and then serves a tiny stdin protocol: ``RUN`` → one
+    timed pipeline execution, reply ``WALL <sec>``; ``QUIT`` → shut down.
+    Keeping the JVM alive lets the orchestrator alternate trials across
+    cluster levels within a narrow time window — this host's deliverable
+    CPU capacity fluctuates ~2× over minutes, so back-to-back sequential
+    level runs are not comparable.
     """
     import time as _time
 
@@ -168,16 +228,36 @@ def _runner_main() -> None:
     from sssom_curator_spark.sources.pages import generate_pages
 
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-    spark = get_spark(
-        app_name=f"scaling-runner-{cpus}",
-        master=f"local[{cpus}]",
-        extra={
-            "spark.sql.shuffle.partitions": str(max(16, 2 * cpus)),
-            # this JVM gets SIGSTOP-frozen for minutes between alternating
-            # trials; keep idle-connection/RPC timeouts far above the gap
-            "spark.network.timeout": "1200s",
-        },
-    )
+    master = os.environ.get("BENCH_MASTER", f"local[{cpus}]")
+    exec_slices = [s for s in os.environ.get("BENCH_EXEC_SLICES", "").split(";") if s]
+    extra = {
+        "spark.sql.shuffle.partitions": str(max(16, 2 * cpus)),
+        # this JVM tree gets SIGSTOP-frozen for minutes between alternating
+        # trials; every liveness timeout must sit far above the freeze gap
+        # (the whole group freezes together, so heartbeat *sending* pauses
+        # too — on thaw the receiver sees the full gap)
+        "spark.network.timeout": "7200s",
+        "spark.worker.timeout": "7200",
+        "spark.executor.heartbeatInterval": "30s",
+    }
+    if master.startswith("local-cluster"):
+        # executor JVMs run python workers from their own work dirs — the
+        # package must come from PYTHONPATH, not the driver's cwd
+        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+            os.path.abspath(__file__)
+        )
+        # sc.defaultParallelism reads max(registered cores, 2) — sampled
+        # before executor registration it returns 2 and the generated
+        # corpus would land in 2 fat partitions regardless of cluster
+        # width. Pin range parallelism to 4 partitions per core (same
+        # pages-per-partition at every level) and hold the first job until
+        # every executor is registered.
+        extra["spark.default.parallelism"] = str(4 * cpus)
+        extra["spark.scheduler.minRegisteredResourcesRatio"] = "1.0"
+        extra["spark.scheduler.maxRegisteredResourcesWaitingTime"] = "120s"
+    spark = get_spark(app_name=f"scaling-runner-{cpus}", master=master, extra=extra)
+    if exec_slices:
+        _pin_executor_jvms(exec_slices, expected=len(exec_slices))
     n_pages = int(os.environ.get("BENCH_RUNNER_PAGES", str(N_BENCH_PAGES)))
     page_start = int(os.environ.get("BENCH_PAGE_START", "0"))
     pages = generate_pages(
@@ -284,7 +364,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
         )
     n_pages = int(os.environ.get("BENCH_PAGES", "240000"))
     n_trials = int(os.environ.get("BENCH_TRIALS", "3"))
-    mode = os.environ.get("BENCH_SCALING_MODE", "executors")
+    mode = os.environ.get("BENCH_SCALING_MODE", "cluster")
     have_taskset = shutil.which("taskset") is not None
     walls: dict[int, list[float]] = {c: [] for c in levels}
     probes: dict[int, float] = {}
@@ -301,10 +381,12 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
             BENCH_PAGES=str(n_pages),
             BENCH_TRIALS=str(n_trials),
             # heap scales with the level (4N executors carry 4N memory);
-            # must travel via PYSPARK_SUBMIT_ARGS to reach the local JVM
+            # must travel via PYSPARK_SUBMIT_ARGS to reach the local JVM.
+            # extra_env may override (cluster mode: constant driver heap,
+            # executor heap rides in the local-cluster master string).
             PYSPARK_SUBMIT_ARGS=f"--driver-memory {max(8, cpus)}g pyspark-shell",
-            **(extra_env or {}),
         )
+        env.update(extra_env or {})
         cmd = [sys.executable, __file__, "--runner"]
         if have_taskset:
             a, b = pin if pin is not None else (0, cpus - 1)
@@ -326,7 +408,86 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     def thaw(p):
         os.killpg(os.getpgid(p.pid), signal.SIGCONT)
 
-    if mode == "executors":
+    if mode == "cluster":
+        # The conclusive N-vs-4N shape: ONE global Spark job per level on
+        # REAL executor JVMs (`--master local-cluster[k,c,mem]`), so every
+        # exchange — the evidence groupBy, the candidate joins, the
+        # connected-components iterations — is genuinely paid ACROSS
+        # executors at the hi level. This closes the gap in the prior
+        # "executors" mode, which ran k independent per-shard pipelines
+        # and never shuffled across executor boundaries (an upper bound).
+        #
+        # Topology per level (lo=N cores, hi=4N):
+        #   lo: local-cluster[1, N, mem]  — 1 executor JVM on cores 0..N-1
+        #   hi: local-cluster[4, N, mem]  — 4 executor JVMs on disjoint
+        #       N-core slices of 0..4N-1 (each shaped exactly like the lo
+        #       executor: same heap, same cores — a cluster scales by
+        #       adding such JVMs)
+        # The driver JVM (master+worker threads included) is pinned to its
+        # own 2 reserved cores OUTSIDE the executor range for BOTH levels —
+        # on a real cluster the driver is a separate node whose capacity
+        # does not change with executor count. Memory scales with the
+        # level (one 5 GiB executor vs four). Freeze/alternate/probe
+        # discipline identical to the other modes.
+        lo, hi = sorted(levels)
+        k = hi // lo
+        assert k * lo == hi, "levels must divide for cluster mode"
+        exec_mem_mb = int(os.environ.get("BENCH_EXEC_MEM_MB", "5120"))
+        n_host = os.cpu_count() or 32
+        assert hi + 4 <= n_host, "need 2 reserved driver cores per level"
+        lo_slices = ";".join(f"{i * lo}-{(i + 1) * lo - 1}" for i in range(1))
+        hi_slices = ";".join(f"{i * lo}-{(i + 1) * lo - 1}" for i in range(k))
+        lo_proc = None
+        hi_proc = None
+        try:
+            lo_proc = spawn(
+                lo,
+                pin=(n_host - 4, n_host - 3),  # driver node cores
+                extra_env={
+                    "BENCH_MASTER": f"local-cluster[1,{lo},{exec_mem_mb}]",
+                    "BENCH_EXEC_SLICES": lo_slices,
+                    # driver node is constant across levels (it schedules,
+                    # it does not execute tasks) — same heap both levels
+                    "PYSPARK_SUBMIT_ARGS": "--driver-memory 8g pyspark-shell",
+                },
+            )
+            _await(lo_proc, "READY")
+            freeze(lo_proc)
+            hi_proc = spawn(
+                hi,
+                pin=(n_host - 2, n_host - 1),
+                extra_env={
+                    "BENCH_MASTER": f"local-cluster[{k},{lo},{exec_mem_mb}]",
+                    "BENCH_EXEC_SLICES": hi_slices,
+                    "PYSPARK_SUBMIT_ARGS": "--driver-memory 8g pyspark-shell",
+                },
+            )
+            _await(hi_proc, "READY")
+            freeze(hi_proc)
+            for _ in range(n_trials):
+                round_probes.append(_capacity_probe())
+                for cpus, p in ((lo, lo_proc), (hi, hi_proc)):
+                    thaw(p)
+                    p.stdin.write("RUN\n")
+                    p.stdin.flush()
+                    walls[cpus].append(float(_await(p, "WALL").split()[1]))
+                    freeze(p)
+        finally:
+            for p in (lo_proc, hi_proc):
+                if p is None:
+                    continue
+                try:
+                    thaw(p)
+                    p.stdin.write("QUIT\n")
+                    p.stdin.flush()
+                    p.wait(timeout=60)
+                except Exception:
+                    try:
+                        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    except Exception:
+                        pass
+        probes = {c: round(sum(round_probes) / len(round_probes), 1) for c in levels}
+    elif mode == "executors":
         # The faithful N-vs-4N *executor* proxy: a Spark cluster scales by
         # adding executor JVMs, not by quadrupling one JVM's task threads
         # (a single fat local[4N] JVM shares one GC, one code cache, one
@@ -472,6 +633,16 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     ratio = round(thr_hi / thr_lo, 2)
     med_ratio = round(results[lo]["median_sec"] / results[hi]["median_sec"], 2)
     med_efficiency = round(med_ratio / (hi / lo), 3)
+    # Per-round PAIRED ratios: trials alternate lo/hi inside each round, so
+    # round i's lo and hi walls sampled the same host window — the ratio
+    # within a round is robust to capacity drift ACROSS rounds (which hits
+    # both the min- and median-of-walls estimators). Median of the paired
+    # ratios is the primary drift-robust estimator.
+    round_ratios = [
+        round(a / b, 3) for a, b in zip(walls[lo], walls[hi])
+    ]
+    paired_med_ratio = sorted(round_ratios)[len(round_ratios) // 2]
+    paired_efficiency = round(paired_med_ratio / (hi / lo), 3)
     lines = [
         "# BENCH — scaling evidence (sandbox proxy for N vs 4N executors)",
         "",
@@ -506,10 +677,27 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     lines += [
         "",
         f"- throughput ratio local[{hi}]/local[{lo}]: **{ratio}x** "
-        f"(median-based: {med_ratio}x)",
-        f"- scaling efficiency ((thr_4N/thr_N)/4): **{efficiency}** "
-        f"(median-based: {med_efficiency})",
+        f"(walls-median-based: {med_ratio}x)",
+        f"- per-round PAIRED ratios (lo_i/hi_i, same host window): "
+        f"{round_ratios} → median {paired_med_ratio}x",
+        f"- scaling efficiency ((thr_4N/thr_N)/4): best-pair **{efficiency}**, "
+        f"paired-round median **{paired_efficiency}**, "
+        f"walls-median {med_efficiency}",
         f"- scaling mode: **{mode}**"
+        + (
+            f" — ONE global Spark job per level on REAL executor JVMs: lo = "
+            f"`local-cluster[1,{lo},mem]` (one {lo}-core executor), hi = "
+            f"`local-cluster[{hi // lo},{lo},mem]` ({hi // lo} executor JVMs "
+            f"on disjoint pinned {lo}-core slices, each shaped exactly like "
+            f"the lo executor). Every exchange — the evidence groupBy, the "
+            f"candidate joins, the connected-components iterations — is "
+            f"genuinely paid ACROSS executors at the hi level (no sharding, "
+            f"no per-shard independence); the driver JVM is pinned to its "
+            f"own 2 reserved cores outside the executor range at BOTH "
+            f"levels (a real cluster's driver is a separate node)"
+            if mode == "cluster"
+            else ""
+        )
         + (
             f" — hi level = {hi // lo} separate local[{lo}] executor JVMs on "
             f"disjoint pinned core sets, each owning a disjoint corpus shard "
@@ -517,7 +705,8 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
             f"adds executor JVMs, it does not quadruple one JVM's threads "
             f"(single-JVM local[{hi}] pays shared-GC/allocator contention a "
             f"real {hi // lo}-executor fleet does not — measured ~18% "
-            f"per-core inflation)"
+            f"per-core inflation). NOTE: zero cross-executor exchange is "
+            f"paid in this mode — it upper-bounds the cluster-mode number"
             if mode == "executors"
             else ""
         ),
@@ -540,7 +729,7 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     ]
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({"scaling_efficiency": efficiency, "scaling_efficiency_median": med_efficiency, "throughput": {str(k): results[k]["value"] for k in results}}))
+    print(json.dumps({"scaling_efficiency": efficiency, "scaling_efficiency_paired_median": paired_efficiency, "scaling_efficiency_median": med_efficiency, "round_ratios": round_ratios, "throughput": {str(k): results[k]["value"] for k in results}}))
 
 
 def main() -> None:
