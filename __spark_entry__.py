@@ -462,6 +462,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: IVF (inverted-file) approximate top-k — the
+    second ANN scale path beside LSH. The DuckDB oracle replays the
+    md5-seeded centroid pick, the round-6 nearest-centroid assignment,
+    the n_probe cell fan-out, and the exact rerank."""
+    from sssom_curator_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, id_col="vec_id",
+        n_centroids=16, n_probe=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload header decode (Arrow-batched
     python kernel over a deterministic fake format) + frame-sampling row
@@ -822,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curie_standardize": q_curie_standardize,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_frames": q_media_frames,
         "embedding_neardup": q_embedding_neardup,
         "curation_marks": q_curation_marks,
@@ -1295,6 +1313,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
               FROM bandkeys q JOIN bandkeys c ON q.band = c.band AND q.key = c.key
               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                                  ce.embedding::DOUBLE[]), 4) AS cosine
+              FROM cand cd
+              JOIN embeddings qe ON qe.vec_id = cd.query_id
+              JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        # IVF ANN: full replay — centroid seed pick (smallest md5 of the
+        # id string, id tiebreak), nearest-centroid assignment with scores
+        # rounded to 6 (so float summation order cannot flip near-ties;
+        # ties break by centroid id asc in both engines), n_probe cell
+        # fan-out per query, exact round-4 rerank in the probed cells.
+        "ann_ivf": """
+            WITH centroids AS (
+              SELECT CAST(vec_id AS VARCHAR) AS cid, embedding
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16
+            ),
+            scores AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) AS s
+              FROM embeddings e CROSS JOIN centroids c
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM scores
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM scores WHERE vec_id < 10
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.cid = p.cid
+              WHERE p.vec_id <> a.vec_id
             ),
             scored AS (
               SELECT cd.query_id, cd.neighbor_id,

@@ -26,7 +26,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_sim_col", "cosine_topk_exact", "cosine_topk_lsh", "cosine_near_duplicates"]
+__all__ = [
+    "cosine_sim_col",
+    "cosine_topk_exact",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_near_duplicates",
+]
 
 
 def cosine_sim_col(a: Column, b: Column, *, decimals: int = 4) -> Column:
@@ -202,6 +208,125 @@ def cosine_topk_lsh(
     scored = (
         cand.join(qv, on="query_id")
         .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning — the
+    second ANN scale path beside :func:`cosine_topk_lsh`.
+
+    Index build: ``n_centroids`` deterministic seed centroids (the corpus
+    vectors with the smallest ``md5(id)`` — no RNG, replayable in SQL);
+    every corpus vector is assigned to its nearest centroid (one Arrow
+    matmul per batch against the broadcast centroid matrix — ties broken
+    by centroid id). Search: each query probes its ``n_probe`` nearest
+    centroids and reranks only the vectors in those cells exactly.
+
+    Scale shape: the centroid matrix is centroid-count-sized (collected +
+    broadcast once); assignment is embarrassingly parallel; the only
+    shuffle is the (cell-id → candidates) equi-join, sized at
+    ``|corpus| × n_probe / n_centroids`` rows per query — never n². No
+    candidate ``distinct`` is needed at all: a corpus row lives in exactly
+    one cell and a query probes distinct cells, so pairs are unique by
+    construction. Assignment scores are rounded to 6 decimals before the
+    argmax so engine/oracle float-summation-order differences cannot flip
+    near-tied cells.
+
+    Output ``(query_id, neighbor_id, cosine, rank)`` like the other top-k
+    variants; recall is tunable via (n_centroids, n_probe).
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        id_type = dict(zip(queries.schema.names, queries.schema.fields))[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("neighbor_id", id_type),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    cent_ids = [str(r[id_col]) for r in seed_rows]
+    cent_mat = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent_mat, axis=1)
+    norms[norms == 0] = 1.0
+    cent_mat = (cent_mat.T / norms).T
+    # centroid columns ordered by id so a stable argsort breaks score ties
+    # by centroid id ascending — deterministic and SQL-replayable
+    order = np.argsort(np.array(cent_ids, dtype=object))
+    cent_ids = [cent_ids[i] for i in order]
+    cent_mat = cent_mat[order]
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+
+    def _cell_scores(vs: pd.Series) -> np.ndarray:
+        _, mat = bc.value
+        v = np.array(vs.tolist(), dtype=np.float64)
+        vn = np.linalg.norm(v, axis=1)
+        vn[vn == 0] = 1.0
+        v = (v.T / vn).T
+        return np.round(v @ mat.T, 6)  # (batch, n_centroids)
+
+    @F.pandas_udf(T.StringType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        ids, _ = bc.value
+        scores = _cell_scores(vs)
+        best = np.argmax(scores, axis=1)  # first max = smallest centroid id
+        return pd.Series([ids[i] for i in best])
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        ids, _ = bc.value
+        scores = _cell_scores(vs)
+        # stable argsort of -scores: ties fall back to column order = id asc
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([[ids[j] for j in row] for row in top])
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        probed.join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

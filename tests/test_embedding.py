@@ -85,6 +85,36 @@ class TestTopK:
         assert rows[0]["neighbor_id"] == "0"
         assert rows[1]["neighbor_id"] == "1"
 
+    def test_ivf_results_subset_of_exact_scores(self, spark):
+        import random
+
+        from sssom_curator_spark.operators.similarity import cosine_topk_ivf
+
+        rng = random.Random(7)
+        emb = spark.createDataFrame(
+            [(str(i), [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+            "id string, embedding array<float>",
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk_exact(emb.limit(5), emb, k=60).collect()
+        }
+        approx = cosine_topk_ivf(emb.limit(5), emb, k=5, n_centroids=8, n_probe=3).collect()
+        assert approx  # finds something
+        for r in approx:
+            assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        # pair uniqueness by construction (one cell per corpus row,
+        # distinct probed cells per query — no dedup shuffle needed)
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in approx]
+        assert len(pairs) == len(set(pairs))
+
+    def test_ivf_empty_corpus(self, spark):
+        from sssom_curator_spark.operators.similarity import cosine_topk_ivf
+
+        empty = spark.createDataFrame([], "id string, embedding array<float>")
+        q = spark.createDataFrame([("q", [1.0, 0.0])], "id string, embedding array<float>")
+        assert cosine_topk_ivf(q, empty).collect() == []
+
     def test_lsh_results_subset_of_exact_scores(self, spark):
         import random
 

@@ -85,6 +85,14 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivf_candidates_are_equi_join(self, spark):
+        from sssom_curator_spark.operators.similarity import cosine_topk_ivf
+
+        emb = _table(spark, "embeddings")
+        plan = _plan(cosine_topk_ivf(emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestCodegenCoverage:
     def test_textstats_stay_in_wholestage_codegen(self, spark):
