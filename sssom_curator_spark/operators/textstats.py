@@ -130,15 +130,26 @@ def doc_fingerprint(
     stride cuts hash work 4x — winnowing never needs every window, only
     enough overlap that an edit outside one window leaves a shared minimum.
     """
-    c = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # Materialize the normalized text ONCE as a real column before the
+    # per-gram lambda: referencing the lower+regexp_replace expression
+    # inside `transform` would re-evaluate the whole-document regex for
+    # EVERY gram position (O(doc_len × n_grams) — quadratic in document
+    # length); a bound attribute is a constant-time read per element.
+    out = df.withColumn(
+        "_fp_norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    c = F.col("_fp_norm")
     n = F.length(c)
     positions = F.when(
         n >= gram_chars, F.sequence(F.lit(1), n - (gram_chars - 1), F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(positions, lambda pos: F.md5(c.substr(pos, F.lit(gram_chars))))
-    return df.withColumns(
-        {
-            "content_hash": F.md5(c),
-            "min_gram_hash": F.coalesce(F.array_min(grams), F.md5(c)),
-        }
+    return (
+        out.withColumns(
+            {
+                "content_hash": F.md5(c),
+                "min_gram_hash": F.coalesce(F.array_min(grams), F.md5(c)),
+            }
+        )
+        .drop("_fp_norm")
     )
