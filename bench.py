@@ -78,6 +78,9 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "ngram_jaccard",
         "simhash_neardup",
         "ann_topk",
+        "ann_lsh",
+        "ann_ivf",
+        "embedding_neardup",
         "embedding_simjoin",
         "langid_quality",
         "fingerprint",

@@ -21,6 +21,7 @@ FAST_QUERIES = [
     "exact_dedup_docs",
     "langid_quality",
     "token_count_bpe",
+    "ann_ivf",
     "contributor_counts",
     "redundancy_report",
     "curie_uri_expand",
