@@ -106,6 +106,12 @@ def embedding_similarity_join(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
+        # targets pre-sorted by id so that within one source row, equal
+        # scores order by target id — the stable mergesort below then
+        # yields a deterministic top-k without per-row Python
+        id_order = np.argsort(ids.astype(str), kind="stable")
+        ids_sorted = ids[id_order]
+        mat_sorted = mat[id_order] if mat.size else mat
         for batch in batches:
             if mat.size == 0 or batch.empty:
                 yield pd.DataFrame({"source_id": [], "target_id": [], "cosine": []})
@@ -114,20 +120,24 @@ def embedding_similarity_join(
             s_norms = np.linalg.norm(s_mat, axis=1)
             s_norms[s_norms == 0] = 1.0
             s_mat = (s_mat.T / s_norms).T
-            sims = s_mat @ mat.T  # (batch, n_target)
-            src_out, tgt_out, sim_out = [], [], []
-            for i, sid in enumerate(batch[id_col]):
-                row = sims[i]
-                hit_idx = np.nonzero(row >= cutoff)[0]
-                if top_k is not None and hit_idx.size > top_k:
-                    # stable top-k: score desc, then target id asc
-                    order = np.lexsort((ids[hit_idx].astype(str), -row[hit_idx]))
-                    hit_idx = hit_idx[order[:top_k]]
-                src_out.extend([str(sid)] * hit_idx.size)
-                tgt_out.extend(str(t) for t in ids[hit_idx])
-                sim_out.extend(np.round(row[hit_idx], 3))
+            sims = s_mat @ mat_sorted.T  # (batch, n_target)
+            if top_k is not None and top_k < sims.shape[1]:
+                # whole-matrix stable top-k: argsort -score per row (ties
+                # fall back to column order = target id asc), keep k cols
+                top_cols = np.argsort(-sims, axis=1, kind="stable")[:, :top_k]
+                rows = np.repeat(np.arange(sims.shape[0]), top_k)
+                cols = top_cols.ravel()
+                keep = sims[rows, cols] >= cutoff
+                rows, cols = rows[keep], cols[keep]
+            else:
+                rows, cols = np.nonzero(sims >= cutoff)
+            src_ids = batch[id_col].astype(str).to_numpy()
             yield pd.DataFrame(
-                {"source_id": src_out, "target_id": tgt_out, "cosine": sim_out}
+                {
+                    "source_id": src_ids[rows],
+                    "target_id": ids_sorted[cols].astype(str),
+                    "cosine": np.round(sims[rows, cols], 3),
+                }
             )
 
     return source.select(id_col, vec_col).mapInPandas(compute, schema=out_schema)

@@ -223,20 +223,25 @@ def annotate_mentions(
             yield pd.DataFrame(out, columns=["doc_id", "start", "end", "surface"])
 
     spans = docs.select(id_col, content_col).mapInPandas(scan, schema=_MENTION_SCHEMA)
-    candidates = index.select(
-        F.col("norm_text").alias("surface"),
-        F.concat_ws(":", "prefix", "identifier").alias("object_id"),
-        F.col("name").alias("object_label"),
-    )
-    out = spans.join(F.broadcast(candidates), on="surface", how="inner")
 
     @F.pandas_udf(T.DoubleType())
     def _score(query: pd.Series, candidate: pd.Series) -> pd.Series:
         return score_match_batch(query, candidate)
 
-    out = out.withColumn("confidence", _score(F.col("surface"), norm_text_col("object_label")))
+    # Confidence is a pure function of (surface, object_label) — both
+    # columns of the index dim — so it is scored ONCE PER INDEX ROW here
+    # and rides through the broadcast join for free. Scoring after the
+    # join would run the python kernel once per MENTION (corpus-sized ×
+    # candidate fan-out) for identical values — the per-row-Python
+    # hot-path pattern the north rule bans.
+    candidates = index.select(
+        F.col("norm_text").alias("surface"),
+        F.concat_ws(":", "prefix", "identifier").alias("object_id"),
+        F.col("name").alias("object_label"),
+    ).withColumn("confidence", _score(F.col("surface"), norm_text_col("object_label")))
     if cutoff > 0:
-        out = out.filter(F.col("confidence") >= F.lit(cutoff))
+        candidates = candidates.filter(F.col("confidence") >= F.lit(cutoff))
+    out = spans.join(F.broadcast(candidates), on="surface", how="inner")
     return out.select(
         "doc_id", "start", "end", "surface", "object_id", "object_label", "confidence"
     )
