@@ -358,6 +358,16 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     import signal
     import subprocess
 
+    # SIGTERM (e.g. from `timeout`) must unwind through the finally
+    # blocks below: the inactive level's whole process tree is
+    # SIGSTOP-frozen during trials, and a hard exit would orphan frozen
+    # JVMs that nothing ever thaws (observed). Converting to SystemExit
+    # runs the thaw+QUIT+SIGKILL cleanup.
+    def _term_to_exit(_sig, _frame):
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _term_to_exit)
+
     if len(levels) != 2:
         # fail BEFORE any (minutes-long) measurement runs, not in the
         # ratio computation after them

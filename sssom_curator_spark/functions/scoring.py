@@ -5,8 +5,14 @@ The reference scores lexical matches with gilda's scorer
 confidence to 3 places (:253,302). The north rule replaces that with a
 logistic combination of explicit lexical-mapping features: token Jaccard,
 common-prefix/suffix ratios, exact-normalized-equality, length ratio, and
-(when available) embedding cosine. Everything here operates on whole numpy/
-pandas batches — no per-row Python at the operator layer.
+(when available) embedding cosine.
+
+Scale posture: ``lexical_features`` iterates pairs inside the Arrow batch
+(set ops + affix scans are per-pair by nature), so its CALLERS must feed
+it dimension-sized inputs only — the mention path scores once per
+lexical-index row and the confidence rides the broadcast join
+(``operators/grounding.py``), and the candidate path scores all-by-all
+pairs (index-bucket-sized). It is never applied per corpus row.
 
 Orientation is preserved: ``query`` is the subject/source side, ``candidate``
 the lexical-index (object/target) hit, so the asymmetric features match the

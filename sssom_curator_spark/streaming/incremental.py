@@ -107,9 +107,18 @@ def streaming_first_seen(
         emitted = state.exists and state.get[0]
         best_id, best_ts = None, None
         for pdf in pdf_iter:
-            for doc_id, ts in zip(pdf[id_col], pdf[ts_col]):
-                if best_ts is None or ts < best_ts or (ts == best_ts and str(doc_id) < str(best_id)):
-                    best_id, best_ts = str(doc_id), ts
+            if pdf.empty:
+                continue
+            # vectorized min over (ts, id) — lexsort keys are listed
+            # least-significant first, so id breaks ts ties
+            import numpy as np
+
+            i = np.lexsort(
+                (pdf[id_col].astype(str).to_numpy(), pdf[ts_col].to_numpy())
+            )[0]
+            doc_id, ts = str(pdf[id_col].iloc[i]), pdf[ts_col].iloc[i]
+            if best_ts is None or ts < best_ts or (ts == best_ts and doc_id < best_id):
+                best_id, best_ts = doc_id, ts
         state.update((True,))
         state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
         if emitted or best_id is None:

@@ -390,3 +390,40 @@ CHEBI:200000\taspirin-like\tskos:exactMatch\tmesh:C000001\ttest target\tsemapv:L
         insert_sssom_tsv(spark, path, read_sssom_tsv(spark, path)[0])
         back, _, _ = read_sssom_tsv(spark, path)
         assert back.count() == n0
+
+
+class TestChartSvg:
+    """S9 rendered chart artifacts (reference export/charts.py:32-184
+    renders PNG via matplotlib; here: deterministic dependency-free SVG)."""
+
+    def test_svg_deterministic_and_wellformed(self):
+        import xml.etree.ElementTree as ET
+
+        from sssom_curator_spark.export.charts_svg import render_bar_chart_svg
+
+        items = [("CHEBI", 12.0), ("mesh", 7.0), ("uniprot", 0.0)]
+        a = render_bar_chart_svg(items, title="Mappings per prefix")
+        b = render_bar_chart_svg(items, title="Mappings per prefix")
+        assert a == b  # byte-identical on identical input
+        root = ET.fromstring(a)
+        assert root.tag.endswith("svg")
+        ns = {"s": "http://www.w3.org/2000/svg"}
+        bars = root.findall(".//s:path", ns)
+        assert len(bars) == 3  # one mark per item, zero-height included
+        tooltips = [t.text for t in root.findall(".//s:path/s:title", ns)]
+        assert tooltips == ["CHEBI: 12", "mesh: 7", "uniprot: 0"]
+        # selective direct label: only the max bar carries its value; all
+        # text wears ink tokens, never the series hue
+        texts = root.findall(".//s:text", ns)
+        assert sum(1 for t in texts if t.text == "12") == 1
+        assert all(t.get("fill") in ("#0b0b0b", "#52514e") for t in texts)
+
+    def test_chart_sinks_render_all_three(self, spark, tmp_path):
+        from sssom_curator_spark.export.charts_svg import render_chart_sinks
+
+        out = render_chart_sinks(seed_repository(spark), str(tmp_path / "charts"))
+        assert set(out) == {"component_sizes", "prefixes", "relations"}
+        for path in out.values():
+            with open(path) as fh:
+                content = fh.read()
+            assert content.startswith("<svg ") and content.rstrip().endswith("</svg>")
