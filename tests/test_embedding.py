@@ -108,6 +108,33 @@ class TestTopK:
         pairs = [(r["query_id"], r["neighbor_id"]) for r in approx]
         assert len(pairs) == len(set(pairs))
 
+    def test_ivf_partition_invariance(self, spark):
+        # the reference's batched==unbatched property generalized: result
+        # independent of input partitioning / Arrow batch size
+        import random
+
+        from sssom_curator_spark.operators.similarity import cosine_topk_ivf
+
+        rng = random.Random(11)
+        rows = [(str(i), [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "id string, embedding array<float>")
+        a = sorted(
+            map(tuple, cosine_topk_ivf(emb.limit(4), emb, k=3, n_centroids=4).collect())
+        )
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            b = sorted(
+                map(
+                    tuple,
+                    cosine_topk_ivf(
+                        emb.limit(4).repartition(7), emb.repartition(5), k=3, n_centroids=4
+                    ).collect(),
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        assert a == b
+
     def test_ivf_empty_corpus(self, spark):
         from sssom_curator_spark.operators.similarity import cosine_topk_ivf
 

@@ -8,6 +8,13 @@ Usage (sandbox smoke; on a cluster swap --master and the sink paths)::
         --py-files /tmp/sssom_curator_spark.zip \
         tools/submit_main.py --pages 5000 --output /tmp/kg_out
 
+Multi-executor shape (verified in this sandbox — real executor JVMs, the
+zip ships to executor python workers via --py-files)::
+
+    /opt/spark/bin/spark-submit --master 'local-cluster[2,2,2048]' \
+        --py-files /tmp/sssom_curator_spark.zip \
+        tools/submit_main.py --pages 3000 --output /tmp/kg_out --throughput
+
 Builds the end-to-end KG pipeline over the deterministic page corpus and
 writes the emitted triples as a prefix-partitioned table plus the
 per-partition lineage metrics — the production artifact shapes.
