@@ -108,7 +108,13 @@ def minhash_near_duplicates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sh = shingles(df, id_col=id_col, text_col=text_col, n=shingle_n).persist()
-    sig = minhash_signature(sh, num_hashes=num_hashes)
+    # Persist the signature: the banded frame below feeds BOTH sides of
+    # the candidate self-join, and without the cache Spark would execute
+    # the shingle→groupBy→k-minima aggregation — the most expensive stage
+    # of the whole operator — twice per run (same pattern as
+    # simhash_near_duplicates; pinned by
+    # tests/test_dedup.py::test_minhash_single_signature_scan).
+    sig = minhash_signature(sh, num_hashes=num_hashes).persist()
 
     band_cols = [
         F.struct(
@@ -135,12 +141,25 @@ def minhash_near_duplicates(
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
+        # Eager: materializes the candidate pairs in ONE job while sh/sig
+        # are cached, so the signature aggregation runs exactly once and
+        # both caches can be dropped before returning (no cache leak).
+        .localCheckpoint()
     )
+    sig.unpersist()
     if not verify:
+        sh.unpersist()
         return cand
-    verified = _jaccard_for_pairs(cand, sh)
+    verified = (
+        _jaccard_for_pairs(cand, sh)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        # Verification scans the cached shingles three times (sizes +
+        # both pair sides); checkpoint before unpersisting so the
+        # caller's action doesn't recompute them cold.
+        .localCheckpoint()
+    )
     sh.unpersist()
-    return verified.filter(F.col("jaccard") >= jaccard_threshold)
+    return verified
 
 
 def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:

@@ -88,16 +88,35 @@ def cosine_topk_exact(
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: component (p, d) from
     md5(p|d) mapped to [-1, 1]. No RNG state, identical on every executor
-    (rebuilt worker-side from the seed rule, cached per process)."""
-    planes = np.empty((n_planes, dim))
+    (rebuilt worker-side from the seed rule, cached per process).
+
+    Construction is batched: one incremental-md5 prefix per plane row is
+    ``copy()``-ed per component (the hash of ``"p|"`` is shared across the
+    row), the first 4 digest bytes read as a big-endian uint32 (== the
+    first 8 hex chars), and the [-1, 1] mapping applied as one vectorized
+    expression — so first-batch latency at production dims (4096-d × 16
+    planes ≈ 65k components) is negligible. Values are bit-identical to
+    the original per-element ``int(md5(f"{p}|{d}").hexdigest()[:8], 16)``
+    rule (pinned by tests/test_embedding.py::test_hyperplane_seed_rule).
+    """
+    suffixes = [str(d).encode() for d in range(dim)]
+    rows = []
     for p in range(n_planes):
-        for d in range(dim):
-            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
-            planes[p, d] = (h / 0x7FFFFFFF) - 1.0
-    return planes
+        prefix = hashlib.md5(f"{p}|".encode())
+        row = [
+            int.from_bytes(_upd(prefix.copy(), s).digest()[:4], "big")
+            for s in suffixes
+        ]
+        rows.append(row)
+    return np.asarray(rows, dtype=np.float64) / 0x7FFFFFFF - 1.0
 
 
-def _signature_udf(n_planes: int):
+def _upd(h, data: bytes):
+    h.update(data)
+    return h
+
+
+def _signature_udf(n_planes: int, counter=None):
     """Arrow-batched scalar UDF: embedding → ``n_planes``-char sign-bit
     string (``"1"`` where ``vec · plane_p ≥ 0``).
 
@@ -112,10 +131,17 @@ def _signature_udf(n_planes: int):
 
     The dimension is inferred from the data batch-side, so empty inputs
     flow through as empty results with no driver-side ``first()`` probe.
+
+    ``counter`` is a test hook: an optional Spark accumulator incremented
+    by the number of vectors each batch signs — used to pin that the
+    signature stage executes exactly once per corpus row (the persisted
+    banded frame in the near-dup self-join must not recompute it).
     """
 
     @F.pandas_udf(T.StringType())
     def sig(vs: pd.Series) -> pd.Series:
+        if counter is not None:
+            counter.add(len(vs))
         if vs.empty:
             return pd.Series([], dtype=object)
         if vs.isna().any():
@@ -143,6 +169,7 @@ def _banded(
     n_planes: int,
     bands: int,
     id_alias: str,
+    counter=None,
 ) -> DataFrame:
     """``(id_alias, band, key)`` rows: one row per (vector, band), key =
     that band's slice of the sign-bit signature. The exploded frame carries
@@ -151,7 +178,7 @@ def _banded(
     rows_per_band = n_planes // bands
     with_sig = df.select(
         F.col(id_col).alias(id_alias),
-        _signature_udf(n_planes)(F.col(vec_col)).alias("_sig"),
+        _signature_udf(n_planes, counter)(F.col(vec_col)).alias("_sig"),
     )
     bandcols = [
         F.struct(
@@ -349,6 +376,7 @@ def cosine_near_duplicates(
     cutoff: float = 0.9,
     n_planes: int = 16,
     bands: int = 4,
+    _sig_counter=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(doc_a, doc_b, cosine)``
     with ``doc_a < doc_b`` and cosine ≥ ``cutoff`` — the embedding member
@@ -365,10 +393,18 @@ def cosine_near_duplicates(
     (plan size O(1) in dim), id-pair-only candidate distinct, vectors
     re-attached by joining back to the embedding frame.
     """
+    # Persist: the banded frame — whose lineage includes the signature
+    # pandas UDF over every vector — feeds BOTH sides of the self-join;
+    # uncached, Spark would run the Arrow-batch matmul over the corpus
+    # twice per run. The eager localCheckpoint on the candidate pairs
+    # materializes them in one job while the cache is live, then the
+    # cache is dropped (no leak). Same pattern as simhash/minhash
+    # near-dup; pinned by
+    # tests/test_embedding.py::test_cosine_neardup_single_signature_scan.
     banded = _banded(
         df, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, bands=bands, id_alias="_bid",
-    )
+        n_planes=n_planes, bands=bands, id_alias="_bid", counter=_sig_counter,
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -381,7 +417,9 @@ def cosine_near_duplicates(
         )
         .select(F.col("l._bid").alias("doc_a"), F.col("r._bid").alias("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
+    banded.unpersist()
     va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
     return (
