@@ -651,6 +651,13 @@ def run_scaling(sf_dir: str, levels=(8, 32)) -> None:
     # within a round is robust to capacity drift ACROSS rounds (which hits
     # both the min- and median-of-walls estimators). Median of the paired
     # ratios is the primary drift-robust estimator.
+    # The pairing is only meaningful when the two lists are genuinely one
+    # wall per alternating round each — a silent zip truncation would pair
+    # walls from DIFFERENT rounds and misreport the same-window ratios.
+    assert len(walls[lo]) == len(walls[hi]), (
+        f"paired-ratio pairing requires one lo and one hi wall per round; "
+        f"got {len(walls[lo])} lo vs {len(walls[hi])} hi"
+    )
     round_ratios = [
         round(a / b, 3) for a, b in zip(walls[lo], walls[hi])
     ]

@@ -177,10 +177,16 @@ class CurationSession:
     ``_predictions``.
     """
 
+    #: lineage checkpoint cadence: every N mark batches the accumulated
+    #: apply_marks chain is cut with a localCheckpoint so per-batch work
+    #: stays O(table), not O(table × batches-so-far).
+    CHECKPOINT_EVERY = 8
+
     def __init__(self, repository: DataFrame) -> None:
         self.repository = with_record_id(repository)
         self.total_curated = 0
         self._unpersisted = 0
+        self._batches = 0
 
     def mark(
         self,
@@ -191,6 +197,12 @@ class CurationSession:
         add_date: bool = True,
     ) -> DataFrame:
         """Apply a batch of marks; returns (and retains) the new table."""
+        # Count MARKS that hit an eligible predicted row — not matching
+        # repository rows: duplicate record_ids in the repository must not
+        # overcount vs the reference's per-mark increment (base.py:72-74
+        # bumps once per curated mapping). The repository side stays the
+        # join's streamed side (no shuffle of the big table — the marks
+        # broadcast), and the distinct runs on the surviving ≤|marks| set.
         applied = (
             self.repository.filter(F.col("status") == "predicted")
             .join(
@@ -198,11 +210,16 @@ class CurationSession:
                 on="record_id",
                 how="left_semi",
             )
+            .select("record_id")
+            .distinct()
             .count()
         )
         self.repository = apply_marks(
             self.repository, marks, author=author, today=today, add_date=add_date
         )
+        self._batches += 1
+        if self._batches % self.CHECKPOINT_EVERY == 0:
+            self.repository = self.repository.localCheckpoint()
         self.total_curated += applied
         self._unpersisted += applied
         return self.repository

@@ -17,6 +17,7 @@ are no adjacent categorical pairs to separate.
 
 from __future__ import annotations
 
+import math
 import os
 from xml.sax.saxutils import escape
 
@@ -35,8 +36,12 @@ _M_LEFT, _M_RIGHT, _M_TOP, _M_BOTTOM = 52, 16, 48, 44
 
 
 def _nice_max(value: float) -> float:
-    """Smallest 1/2/5 × 10^k ≥ value (axis headroom without odd ticks)."""
-    if value <= 0:
+    """Smallest 1/2/5 × 10^k ≥ value (axis headroom without odd ticks).
+
+    Non-finite inputs (inf/NaN — e.g. a degenerate series from upstream
+    division) clamp to 1.0 instead of looping forever / silently yielding
+    a bogus axis; render_bar_chart_svg is public API."""
+    if not math.isfinite(value) or value <= 0:
         return 1.0
     exp = 0
     v = float(value)
@@ -143,7 +148,9 @@ def render_bar_chart_svg(
     return text
 
 
-def render_chart_sinks(repository: DataFrame, directory: str) -> dict[str, str]:
+def render_chart_sinks(
+    repository: DataFrame, directory: str, *, components: DataFrame | None = None
+) -> dict[str, str]:
     """Render the reference's three chart artifacts (charts.py:32-184) to
     ``{directory}/{component_sizes,prefixes,relations}.svg``.
 
@@ -153,7 +160,7 @@ def render_chart_sinks(repository: DataFrame, directory: str) -> dict[str, str]:
     """
     from sssom_curator_spark.export.summary import chart_data
 
-    data = chart_data(repository)
+    data = chart_data(repository, components=components)
     titles = {
         "component_sizes": "Positive mapping component sizes",
         "prefixes": "Mappings per prefix (positive)",

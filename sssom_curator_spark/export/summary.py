@@ -18,11 +18,13 @@ from sssom_curator_spark.operators.relational import contributor_counts
 
 __all__ = [
     "summarize",
+    "positive_components",
     "component_stats",
     "unstable_components",
     "incomplete_components",
     "zero_filled_histogram",
     "chart_data",
+    "make_reports",
     "mapping_graph_edges",
 ]
 
@@ -77,14 +79,31 @@ def _positive_edges(repository: DataFrame) -> DataFrame:
     ).select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
 
 
-def component_stats(repository: DataFrame) -> DataFrame:
+def positive_components(repository: DataFrame) -> DataFrame:
+    """CC labels of the positive mapping graph — THE shared input of every
+    report below. Connected components is the most expensive operator in
+    the export path (iterative shuffles); compute it once per export run
+    (the reference builds its networkx graph once per ``make_charts``,
+    charts.py:46-66) and pass the result to each report via their
+    ``components=`` parameter — :func:`make_reports` does exactly that.
+    The returned frame is already materialized (``connected_components``
+    ends in a ``localCheckpoint``), so fan-out reads don't recompute it.
+    """
+    return connected_components(_positive_edges(repository))
+
+
+def component_stats(
+    repository: DataFrame, *, components: DataFrame | None = None
+) -> DataFrame:
     """A4: per positive-component node/edge counts, density, prefix stats.
 
     Density = 2E / (V(V-1)) computed from counts (charts.py:92-93) —
-    no per-component subgraph materialization.
+    no per-component subgraph materialization. ``components`` accepts the
+    precomputed :func:`positive_components` frame; when omitted it is
+    computed here (single-report convenience).
     """
     edges = _positive_edges(repository)
-    comps = connected_components(edges)
+    comps = components if components is not None else connected_components(edges)
     edge_comp = edges.join(
         comps.withColumnRenamed("node", "src").withColumnRenamed("component", "comp"), on="src"
     )
@@ -120,11 +139,13 @@ def component_stats(repository: DataFrame) -> DataFrame:
     )
 
 
-def unstable_components(repository: DataFrame) -> DataFrame:
+def unstable_components(
+    repository: DataFrame, *, components: DataFrame | None = None
+) -> DataFrame:
     """J8 (charts.py:81-87): positive components containing a negative edge
-    between two of their members — contradiction report."""
-    edges = _positive_edges(repository)
-    comps = connected_components(edges)
+    between two of their members — contradiction report. ``components``
+    takes the shared :func:`positive_components` frame."""
+    comps = components if components is not None else positive_components(repository)
     neg = repository.filter(
         (F.col("status") == "negative") | (F.col("predicate_modifier") == "Not")
     ).select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
@@ -137,12 +158,15 @@ def unstable_components(repository: DataFrame) -> DataFrame:
     return labeled
 
 
-def incomplete_components(repository: DataFrame) -> DataFrame:
+def incomplete_components(
+    repository: DataFrame, *, components: DataFrame | None = None
+) -> DataFrame:
     """U3 (charts.py:92-112): missing edges within components — all member
     pairs (u < v) minus existing edges. Pair generation is a per-component
-    self-join (bounded by component size), not a global cross join."""
+    self-join (bounded by component size), not a global cross join.
+    ``components`` takes the shared :func:`positive_components` frame."""
     edges = _positive_edges(repository)
-    comps = connected_components(edges)
+    comps = components if components is not None else connected_components(edges)
     l = comps.select(F.col("component"), F.col("node").alias("u"))
     r = comps.select(F.col("component"), F.col("node").alias("v"))
     all_pairs = l.join(r, on="component").filter(F.col("u") < F.col("v"))
@@ -177,7 +201,7 @@ def zero_filled_histogram(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-def chart_data(repository: DataFrame) -> dict:
+def chart_data(repository: DataFrame, *, components: DataFrame | None = None) -> dict:
     """S9 chart aggregates (reference export/charts.py:32-184 renders
     these three Counter series with matplotlib; the container has no
     matplotlib, so the sink is the DATA — the distributed aggregations —
@@ -190,7 +214,7 @@ def chart_data(repository: DataFrame) -> dict:
     - ``relations``: predicate counts, most-common order
       (charts.py:172-177).
     """
-    sizes = component_stats(repository).select("n_nodes")
+    sizes = component_stats(repository, components=components).select("n_nodes")
     size_hist = {
         int(r["size"]): int(r["count"])
         for r in zero_filled_histogram(sizes, "n_nodes").collect()
@@ -217,6 +241,26 @@ def chart_data(repository: DataFrame) -> dict:
         "component_sizes": size_hist,
         "prefixes": {r["prefix"]: int(r["count"]) for r in prefixes.collect()},
         "relations": {r["relation"]: int(r["count"]) for r in relations.collect()},
+    }
+
+
+def make_reports(repository: DataFrame) -> dict:
+    """One-pass export orchestrator: compute the positive-graph CC labels
+    ONCE and feed every graph report from them (the reference's
+    ``make_charts`` builds its graph once, charts.py:46-66 — previously
+    each report here re-ran the iterative CC job, up to 4× per export).
+
+    Returns ``{"component_stats": DataFrame, "unstable_components":
+    DataFrame, "incomplete_components": DataFrame, "chart_data": dict}``.
+    The DataFrames stay lazy (their expensive shared input is the already-
+    materialized CC frame); ``chart_data`` is collected driver-side as
+    before."""
+    comps = positive_components(repository)
+    return {
+        "component_stats": component_stats(repository, components=comps),
+        "unstable_components": unstable_components(repository, components=comps),
+        "incomplete_components": incomplete_components(repository, components=comps),
+        "chart_data": chart_data(repository, components=comps),
     }
 
 

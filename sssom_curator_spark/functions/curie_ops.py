@@ -44,7 +44,12 @@ def standardize_curie(col: Column | str, alias_map: dict[str, str]) -> Column:
         canonical = F.coalesce(mapping[prefix], prefix)
     else:
         canonical = prefix
-    return F.concat_ws(":", canonical, curie_identifier(c))
+    # Null-preserving: concat_ws would silently turn a NULL CURIE into ""
+    # (insert() would then rewrite a legitimately-null optional column);
+    # standardization of nothing is nothing.
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws(":", canonical, curie_identifier(c))
+    )
 
 
 def expand_curie(col: Column | str, prefix_map: dict[str, str]) -> Column:

@@ -180,10 +180,30 @@ def connected_components(
     return result
 
 
-def canonicalize_mappings(mappings: DataFrame, components: DataFrame) -> DataFrame:
+def canonicalize_mappings(
+    mappings: DataFrame,
+    components: DataFrame,
+    *,
+    broadcast_components: bool | None = None,
+) -> DataFrame:
     """Canonicalization: rewrite subject/object CURIEs to their component
     representative (north rule: union-find over skos:exactMatch edges
     collapses equivalent CURIEs). Unmatched CURIEs pass through.
+
+    Scale note (the 10^12-document design point): this is the north-rule
+    canonicalization operator, and the components frame can be derived
+    from the corpus itself — in which case it is NOT broadcastable. By
+    default no join strategy is forced: Catalyst/AQE broadcasts the
+    component table when its runtime size is under
+    ``spark.sql.autoBroadcastJoinThreshold`` (the common case — a
+    label-index-sized table) and falls back to a shuffled equi-join on the
+    CURIE key otherwise. Callers that KNOW the components frame is
+    dimension-sized can pass ``broadcast_components=True`` to pin the
+    hint; ``False`` pins the shuffle path (both rewrites shuffle on the
+    same key family, so AQE reuses the exchange where possible). A plan
+    test (tests/test_components.py::test_canonicalize_no_forced_broadcast)
+    asserts a large components frame plans as an equi-join, not
+    BroadcastHashJoin, when the threshold rules it out.
     """
     subj = components.select(
         F.col("node").alias("subject_id"), F.col("component").alias("subject_canonical")
@@ -191,9 +211,14 @@ def canonicalize_mappings(mappings: DataFrame, components: DataFrame) -> DataFra
     obj = components.select(
         F.col("node").alias("object_id"), F.col("component").alias("object_canonical")
     )
+    if broadcast_components is True:
+        subj, obj = F.broadcast(subj), F.broadcast(obj)
+    elif broadcast_components is False:
+        subj = subj.hint("shuffle_hash")
+        obj = obj.hint("shuffle_hash")
     return (
-        mappings.join(F.broadcast(subj), on="subject_id", how="left")
-        .join(F.broadcast(obj), on="object_id", how="left")
+        mappings.join(subj, on="subject_id", how="left")
+        .join(obj, on="object_id", how="left")
         .withColumn("subject_canonical", F.coalesce("subject_canonical", F.col("subject_id")))
         .withColumn("object_canonical", F.coalesce("object_canonical", F.col("object_id")))
     )

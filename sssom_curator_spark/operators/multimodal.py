@@ -133,6 +133,16 @@ def image_metadata(media: DataFrame) -> DataFrame:
                     heads[i] = np.frombuffer(bytes(p[:hdr_len]), dtype=np.uint8)
                     ok[i] = True
             ok &= (heads[:, : len(magic)] == magic).all(axis=1)
+            # zero-height headers are rejected like bad magic — aspect
+            # below divides by height, and a 0 would emit aspect=inf
+            # instead of skipping the malformed row. (Truncated payloads
+            # shorter than the header are likewise silently skipped via
+            # the length check above — malformed media rows never abort
+            # the scan, they just don't produce metadata rows.)
+            ok &= (
+                heads[:, len(magic) + 3].astype(np.int32) * 256
+                + heads[:, len(magic) + 4].astype(np.int32)
+            ) > 0
             h = heads[ok]
             version = h[:, len(magic)].astype(np.int32)
             width = (

@@ -113,7 +113,14 @@ def exclude_same_component(predictions: DataFrame, components: DataFrame) -> Dat
     prediction whose endpoints are already connected (transitively) in the
     existing mapping graph. The reference walks nx shortest paths; here
     reachability ≡ equal component label from
-    :func:`sssom_curator_spark.graph.components.connected_components`."""
+    :func:`sssom_curator_spark.graph.components.connected_components`.
+
+    The ``F.broadcast`` hints are deliberate: ``components`` here labels
+    the CURATED mapping graph, which is human-scale by construction (the
+    reference loads it into a networkx graph in memory). For canonicalizing
+    against corpus-derived components use
+    :func:`sssom_curator_spark.graph.components.canonicalize_mappings`,
+    which leaves the join strategy to AQE."""
     subj = components.select(
         F.col("node").alias("subject_id"), F.col("component").alias("_sc")
     )

@@ -95,3 +95,53 @@ class TestCanonicalization:
         # unmapped CURIEs pass through
         other = out.filter(out["subject_id"] == "CHEBI:10057").first()
         assert other["subject_canonical"] == "CHEBI:10057"
+
+
+class TestCanonicalizeScaleSafety:
+    def test_canonicalize_no_forced_broadcast(self, spark):
+        """At the 10^12-node design point the components frame is corpus-
+        derived and cannot broadcast; with the broadcast threshold ruling
+        it out, the rewrite must plan as a shuffled equi-join — no
+        BroadcastHashJoin / BroadcastNestedLoopJoin anywhere."""
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            comps = spark.range(1000).select(
+                F.concat(F.lit("N:"), F.col("id")).alias("node"),
+                F.concat(F.lit("N:"), (F.col("id") / 10).cast("long")).alias("component"),
+            )
+            maps = spark.range(1000).select(
+                F.concat(F.lit("N:"), F.col("id")).alias("subject_id"),
+                F.lit("skos:exactMatch").alias("predicate_id"),
+                F.concat(F.lit("N:"), (F.col("id") + 1)).alias("object_id"),
+            )
+            plan = canonicalize_mappings(maps, comps)._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "Join" in plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_forced_modes_agree(self, spark):
+        """broadcast_components True/False/None all produce identical rows."""
+        from pyspark.sql import functions as F
+
+        comps = spark.createDataFrame(
+            [("a:1", "a:1"), ("b:1", "a:1")], "node string, component string"
+        )
+        maps = spark.createDataFrame(
+            [("b:1", "skos:exactMatch", "c:9")],
+            "subject_id string, predicate_id string, object_id string",
+        )
+        outs = [
+            sorted(
+                canonicalize_mappings(maps, comps, broadcast_components=mode)
+                .select("subject_canonical", "object_canonical")
+                .collect()
+            )
+            for mode in (None, True, False)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0][0]["subject_canonical"] == "a:1"
+        assert outs[0][0]["object_canonical"] == "c:9"

@@ -153,3 +153,58 @@ class TestCurationSession:
         sess.mark(stale, author=USER, today=TODAY)
         assert sess.total_curated == n_pred + already
         assert sess.count_unpersisted() == already
+
+
+class TestCurationSessionCounting:
+    def test_duplicate_repository_rows_count_once_per_mark(self, spark):
+        """A mark's increment is per-MARK, not per matching repository row:
+        duplicate record_ids in the repository must not overcount
+        (reference base.py:72-74 bumps once per curated mapping)."""
+        from sssom_curator_spark.curation.state import CurationSession
+
+        repo = wsgi_repository(spark)
+        predicted = repo.filter(F.col("status") == "predicted")
+        n_pred = predicted.count()
+        assert n_pred >= 1
+        # duplicate every row: same record_ids appear twice
+        sess = CurationSession(repo.unionByName(repo))
+        sess.mark(
+            predicted.select("record_id", F.lit("correct").alias("mark")),
+            author=USER,
+            today=TODAY,
+        )
+        assert sess.total_curated == n_pred  # not 2 × n_pred
+
+    def test_many_batches_checkpoint_keeps_counters_exact(self, spark):
+        """Crossing the lineage-checkpoint cadence (every 8 batches) must
+        not disturb the counters or the table contents."""
+        from sssom_curator_spark.curation.state import CurationSession
+
+        repo = wsgi_repository(spark)
+        sess = CurationSession(repo)
+        ids = [
+            r["record_id"]
+            for r in sess.repository.filter(F.col("status") == "predicted")
+            .select("record_id")
+            .collect()
+        ]
+        assert len(ids) >= 1
+        marked = 0
+        for i in range(10):  # > CHECKPOINT_EVERY
+            target = ids[i % len(ids)]
+            before = (
+                sess.repository.filter(
+                    (F.col("record_id") == target) & (F.col("status") == "predicted")
+                ).count()
+            )
+            sess.mark(
+                spark.createDataFrame(
+                    [(target, "correct")], "record_id string, mark string"
+                ),
+                author=USER,
+                today=TODAY,
+            )
+            marked += 1 if before else 0
+        assert sess.total_curated == marked
+        assert sess.count_unpersisted() == marked
+        assert sess.repository.count() == repo.count()

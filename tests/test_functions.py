@@ -70,12 +70,14 @@ class TestCurieOps:
 
     def test_standardize(self, spark):
         # golden behavior chebi→CHEBI (tests/test_merge.py:109-133)
-        df = spark.createDataFrame([("chebi:10001",), ("mesh:C1",)], "c string")
+        df = spark.createDataFrame([("chebi:10001",), ("mesh:C1",), (None,)], "c string")
         got = [
             r["s"]
             for r in df.select(standardize_curie("c", {"chebi": "CHEBI"}).alias("s")).collect()
         ]
-        assert got == ["CHEBI:10001", "mesh:C1"]
+        # null stays null (not "") — insert() must not rewrite legitimately-
+        # null optional CURIE columns on incoming rows
+        assert got == ["CHEBI:10001", "mesh:C1", None]
 
     def test_expand(self, spark):
         df = spark.createDataFrame([("CHEBI:10001",), ("nope:1",)], "c string")

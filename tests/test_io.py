@@ -427,3 +427,17 @@ class TestChartSvg:
             with open(path) as fh:
                 content = fh.read()
             assert content.startswith("<svg ") and content.rstrip().endswith("</svg>")
+
+
+class TestNiceMax:
+    def test_non_finite_and_degenerate_inputs(self):
+        import math
+
+        from sssom_curator_spark.export.charts_svg import _nice_max
+
+        assert _nice_max(float("inf")) == 1.0  # previously looped forever
+        assert _nice_max(float("nan")) == 1.0
+        assert _nice_max(-math.inf) == 1.0
+        assert _nice_max(0.0) == 1.0
+        assert _nice_max(7.0) == 10.0
+        assert _nice_max(0.03) == 0.05

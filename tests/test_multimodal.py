@@ -46,3 +46,23 @@ class TestFakeImages:
         one = sorted(map(tuple, image_metadata(media.coalesce(1)).collect()))
         many = sorted(map(tuple, image_metadata(media.repartition(8)).collect()))
         assert one == many
+
+
+class TestMalformedHeaders:
+    def test_zero_height_and_truncated_rows_skipped(self, spark):
+        """Zero-height headers and truncated payloads are rejected like
+        bad magic — no aspect=inf rows, no struct errors, scan completes."""
+        from sssom_curator_spark.operators.multimodal import MEDIA_MAGIC
+
+        good = MEDIA_MAGIC + bytes([1, 0, 64, 0, 32])  # 64x32
+        zero_h = MEDIA_MAGIC + bytes([1, 0, 64, 0, 0])  # height == 0
+        short = MEDIA_MAGIC[:3]  # truncated below header length
+        bad_magic = b"XXXXXXX" + bytes([1, 0, 8, 0, 8])
+        media = spark.createDataFrame(
+            [("ok", good), ("zh", zero_h), ("tr", short), ("bm", bad_magic), ("nl", None)],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in image_metadata(media).collect()}
+        assert set(rows) == {"ok"}
+        assert rows["ok"]["width"] == 64 and rows["ok"]["height"] == 32
+        assert rows["ok"]["aspect"] == 2.0

@@ -155,6 +155,59 @@ class TestSummaries:
         missing = {(r["u"], r["v"]) for r in incomplete_components(repo).collect()}
         assert missing == {("a:1", "c:1")}  # triangle incomplete
 
+    def test_make_reports_single_cc_pass(self, spark, monkeypatch):
+        """make_reports must run connected components exactly once and
+        produce the same reports as the per-function entry points
+        (VERDICT r03 'What's wrong #3')."""
+        import datetime
+
+        from sssom_curator_spark.export import summary as summary_mod
+        from sssom_curator_spark.schema import MAPPING_SCHEMA
+
+        def row(s, o, status, modifier=None):
+            base = {f.name: None for f in MAPPING_SCHEMA.fields}
+            base.update(
+                subject_id=s,
+                predicate_id="skos:exactMatch",
+                object_id=o,
+                mapping_justification="semapv:ManualMappingCuration",
+                predicate_modifier=modifier,
+                status=status,
+                mapping_date=datetime.date(2026, 1, 1),
+            )
+            return base
+
+        repo = spark.createDataFrame(
+            [
+                row("a:1", "b:1", "positive"),
+                row("b:1", "c:1", "positive"),
+                row("x:1", "y:1", "positive"),
+                row("a:1", "c:1", "negative", "Not"),
+            ],
+            MAPPING_SCHEMA,
+        )
+        calls = {"n": 0}
+        real_cc = summary_mod.connected_components
+
+        def counting_cc(edges):
+            calls["n"] += 1
+            return real_cc(edges)
+
+        monkeypatch.setattr(summary_mod, "connected_components", counting_cc)
+        reports = summary_mod.make_reports(repo)
+        stats = sorted(map(tuple, reports["component_stats"].collect()))
+        unstable = sorted(map(tuple, reports["unstable_components"].collect()))
+        missing = sorted(map(tuple, reports["incomplete_components"].collect()))
+        charts = reports["chart_data"]
+        assert calls["n"] == 1  # ONE CC pass feeds all four reports
+
+        # identical to the standalone entry points (which each pay their own CC)
+        assert stats == sorted(map(tuple, component_stats(repo).collect()))
+        assert unstable == sorted(map(tuple, unstable_components(repo).collect()))
+        assert missing == sorted(map(tuple, incomplete_components(repo).collect()))
+        assert charts["component_sizes"] == {2: 1, 3: 1}
+        assert calls["n"] >= 4  # the standalone calls really did recompute
+
 
 class TestPredictStage:
     def test_one_row_per_pair_even_with_evidence_on_both_sides(self, spark):
