@@ -18,6 +18,7 @@ row-count / schema / value-hash comparison is exact:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -168,11 +169,16 @@ def q_all_by_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: left-anti exclusion (predict/lexical.py:506-521 shape)."""
+    """J5: left-anti exclusion (predict/lexical.py:506-521 shape).
+
+    The excluded side is the URGENT-priority orders: at sf0.01 every
+    customer has *some* order (the all-orders variant matched zero rows —
+    a vacuous 0 = 0 oracle, VERDICT r03), but hundreds have no urgent
+    one, so this row pins nonzero anti-join semantics."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -382,16 +388,29 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (JVM path): token n-gram explode + broadcast index join."""
+    """J2 (JVM path): token n-gram explode + broadcast index join.
+
+    The index holds the distinct unigram WORDS of the part names (like the
+    flagship ``entry`` does) — full multi-word part names never occur as
+    adjacent tokens in the documents corpus, so the previous full-name
+    index matched zero rows (vacuous 0 = 0 oracle, VERDICT r03). Unigram
+    words overlap the corpus vocabulary, so this row now pins the
+    tokenize → n-gram → broadcast-join semantics over ~1k real matches;
+    max_tokens=2 keeps the bigram explode path exercised (bigram grams
+    simply find no unigram index entry)."""
     from sssom_curator_spark.operators.grounding import mention_candidates_ngram
 
     docs = _t(spark, sf_dir, "documents")
     part = _t(spark, sf_dir, "part")
-    index = part.select(
-        F.lit("PN").alias("prefix"),
-        F.col("p_partkey").cast("string").alias("identifier"),
-        F.col("p_name").alias("name"),
-        F.col("p_name").alias("norm_text"),
+    index = (
+        part.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+        .select(
+            F.lit("PW").alias("prefix"),
+            F.col("w").alias("identifier"),
+            F.col("w").alias("name"),
+            F.col("w").alias("norm_text"),
+        )
     )
     return mention_candidates_ngram(docs, index, id_col="doc_id", max_tokens=2).select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "surface", "object_id"
@@ -592,6 +611,69 @@ def q_curation_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("review_date").cast("string").alias("review_date_s"),
         "reviewer_agreement",
     )
+
+
+def q_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 ``insert()`` promoted to the hard signal (VERDICT r03 missing
+    #2): the full daily-driver roundtrip — write an SSSOM TSV, append
+    incoming rows with lowercase prefixes through the converter
+    (alias_map standardization), lint (dedup on the canonical tuple +
+    sort), re-read — replayed in DuckDB as plain SQL over the same
+    lineitem-derived pairs.
+
+    Existing rows come from orders < 300, incoming from 200–500 with
+    ``p:``/``s:`` prefixes (the 200–300 overlap exercises dedup, the
+    aliases exercise C5 standardization); confidence derives from the key
+    columns only so the dedup winner is value-deterministic."""
+    import tempfile
+
+    from sssom_curator_spark.io.sssom_tsv import (
+        conform_to_mapping_schema,
+        insert_sssom_tsv,
+        read_sssom_tsv,
+        write_sssom_tsv,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def pairs(frame, lo, hi, sub_prefix, obj_prefix):
+        conf = ((F.col("l_partkey") * 31 + F.col("l_suppkey")) % 1000) / 1000.0
+        return (
+            frame.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+            .select(
+                F.concat(F.lit(sub_prefix), F.col("l_partkey").cast("string")).alias(
+                    "subject_id"
+                ),
+                F.lit("skos:exactMatch").alias("predicate_id"),
+                F.concat(F.lit(obj_prefix), F.col("l_suppkey").cast("string")).alias(
+                    "object_id"
+                ),
+                F.lit("semapv:LexicalMatching").alias("mapping_justification"),
+                conf.alias("confidence"),
+            )
+            .distinct()
+        )
+
+    prefix_map = {
+        "P": "https://example.org/part/",
+        "S": "https://example.org/supplier/",
+        "skos": "http://www.w3.org/2004/02/skos/core#",
+        "semapv": "https://w3id.org/semapv/vocab/",
+    }
+    path = os.path.join(tempfile.mkdtemp(prefix="sssom_insert_"), "pred.sssom.tsv")
+    write_sssom_tsv(
+        conform_to_mapping_schema(pairs(li, 0, 300, "P:", "S:")),
+        path,
+        prefix_map=prefix_map,
+    )
+    insert_sssom_tsv(
+        spark,
+        path,
+        pairs(li, 200, 500, "p:", "s:"),
+        alias_map={"p": "P", "s": "S"},
+    )
+    out, _, _ = read_sssom_tsv(spark, path)
+    return out.select("subject_id", "predicate_id", "object_id", "confidence")
 
 
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "embedding_neardup": q_embedding_neardup,
         "curation_marks": q_curation_marks,
+        "insert_roundtrip": q_insert_roundtrip,
         "kg_pipeline": q_kg_pipeline,
         "kg_evidence_boost": q_kg_evidence_boost,
         "contributor_counts": q_contributor_counts,
@@ -939,7 +1022,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_mktsegment, count(*) AS n FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment
         """,
         "semi_join": """
@@ -1134,10 +1218,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] || ' ' || t[i+1] AS gram
               FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2
             ),
-            grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+            grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+            words AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part)
             SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram AS surface,
-                   'PN:' || CAST(p.p_partkey AS VARCHAR) AS object_id
-            FROM grams g JOIN part p ON g.gram = p.p_name
+                   'PW:' || wd.w AS object_id
+            FROM grams g JOIN words wd ON g.gram = wd.w
         """,
         "record_hash": """
             WITH pairs AS (
@@ -1471,6 +1556,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN to_unsure THEN '2026-08-16' END AS review_date_s,
                    CASE WHEN to_unsure THEN 0.0::DOUBLE END AS reviewer_agreement
             FROM t
+        """,
+        # plain-SQL replay of the S4 insert roundtrip: existing (orders
+        # < 300) union incoming (orders 200-500, prefixes standardized
+        # p->P / s->S), dedup on the canonical tuple. confidence derives
+        # from the key columns only, so the dedup winner carries the same
+        # values on both engines.
+        "insert_roundtrip": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                     'P:' || CAST(l_partkey AS VARCHAR) AS subject_id,
+                     'skos:exactMatch' AS predicate_id,
+                     'S:' || CAST(l_suppkey AS VARCHAR) AS object_id,
+                     ((l_partkey * 31 + l_suppkey) % 1000) / 1000.0 AS confidence
+              FROM lineitem WHERE l_orderkey < 500
+            )
+            SELECT subject_id, predicate_id, object_id, confidence FROM pairs
         """,
         # hand-derived planted-truth edge set: seed_labels contains exactly
         # four cross-namespace normalized-text collisions; the ethoxzolamide

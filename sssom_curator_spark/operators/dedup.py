@@ -250,6 +250,12 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        # Eager: the plan scans the cached shingles 4-5× (both join sides
+        # + sizes + the optional df-cap probe); materialize the bounded
+        # pair result in one job while the cache is live, then drop it.
+        # An unpersist before the caller's action would silently void the
+        # cache and recompute the shingle shuffle per scan.
+        .localCheckpoint()
     )
     sh.unpersist()
     return out

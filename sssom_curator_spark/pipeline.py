@@ -55,7 +55,33 @@ from sssom_curator_spark.operators.similarity import cosine_sim_col
 from sssom_curator_spark.operators.textstats import langid_heuristic, quality_score
 from sssom_curator_spark.schema import MAPPING_SCHEMA
 
-__all__ = ["KGConfig", "build_kg"]
+__all__ = ["KGConfig", "build_kg", "aggregate_evidence"]
+
+
+def aggregate_evidence(mentions: DataFrame, *, n_salts: int = 32) -> DataFrame:
+    """Stage-4 corpus evidence: ``(surface, object_id, n_docs, n_mentions)``.
+
+    Two-level salted distinct (SURVEY §4 skew posture): a hub surface (a
+    MeSH/UMLS-grade label appearing in half the corpus) would otherwise
+    stream its whole distinct-doc set through the single reducer owning
+    that (surface, object_id) key. The salt is a pure function of doc_id,
+    so every distinct doc lands in exactly one of ``n_salts`` buckets:
+    level 1 computes per-bucket distinct counts in parallel (map-side
+    partial applies), level 2 sums ``n_salts`` small rows per key —
+    SUM(partial distincts) ≡ the global COUNT(DISTINCT doc_id), and the
+    mention count is a plain sum. Parity with the naive aggregation is
+    pinned by tests/test_pipeline.py (hub fixture: one surface in 50% of
+    pages).
+    """
+    salt = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(n_salts))
+    partial = mentions.groupBy("surface", "object_id", salt.alias("_salt")).agg(
+        F.countDistinct("doc_id").alias("_part_docs"),
+        F.count(F.lit(1)).alias("_part_mentions"),
+    )
+    return partial.groupBy("surface", "object_id").agg(
+        F.sum("_part_docs").alias("n_docs"),
+        F.sum("_part_mentions").alias("n_mentions"),
+    )
 
 
 @dataclass
@@ -232,11 +258,7 @@ def build_kg(
 
     # 4. evidence ----------------------------------------------------------
     def compute_evidence() -> DataFrame:
-        ev = mentions.groupBy("surface", "object_id").agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_mentions"),
-        )
-        return ev
+        return aggregate_evidence(mentions)
 
     evidence = stage("evidence", "evidence", compute_evidence)
 

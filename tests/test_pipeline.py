@@ -3,6 +3,7 @@ resume, lineage metrics, integrity suite, summaries."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from sssom_curator_spark.checkpoint import SnapshotStore
@@ -375,3 +376,60 @@ class TestChartData:
         df = spark.createDataFrame([(2,), (2,), (5,)], "v int")
         rows = {r["size"]: r["count"] for r in zero_filled_histogram(df, "v").collect()}
         assert rows == {2: 2, 3: 0, 4: 0, 5: 1}
+
+
+class TestSaltedEvidence:
+    def test_hub_surface_salted_evidence_parity(self, spark):
+        """Hub fixture: one surface appears in 50% of pages. The salted
+        two-level distinct must equal the naive
+        groupBy(countDistinct) exactly — including duplicate mentions of
+        the same doc collapsing in n_docs but not n_mentions."""
+        from sssom_curator_spark.pipeline import aggregate_evidence
+
+        rows = []
+        for i in range(400):
+            if i % 2 == 0:  # hub: every even doc mentions it (twice)
+                rows.append((f"d{i}", "aspirin", "CHEBI:15365"))
+                rows.append((f"d{i}", "aspirin", "CHEBI:15365"))
+            if i % 40 == 0:
+                rows.append((f"d{i}", "rare term", "MESH:C1"))
+        mentions = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "surface", "object_id"])
+        )
+        got = {
+            (r["surface"], r["object_id"]): (r["n_docs"], r["n_mentions"])
+            for r in aggregate_evidence(mentions).collect()
+        }
+        naive = {
+            (r["surface"], r["object_id"]): (r["n_docs"], r["n_mentions"])
+            for r in mentions.groupBy("surface", "object_id")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_mentions"),
+            )
+            .collect()
+        }
+        assert got == naive
+        assert got[("aspirin", "CHEBI:15365")] == (200, 400)
+        assert got[("rare term", "MESH:C1")] == (10, 10)
+
+    def test_salt_buckets_actually_split_the_hub_key(self, spark):
+        """The level-1 aggregation must spread a hub surface across
+        multiple salt buckets (the whole point of the salting)."""
+        from pyspark.sql import functions as F2
+
+        docs = spark.range(256).select(
+            F2.concat(F2.lit("d"), F2.col("id")).alias("doc_id"),
+            F2.lit("hub").alias("surface"),
+            F2.lit("X:1").alias("object_id"),
+        )
+        n_buckets = (
+            docs.groupBy(
+                "surface",
+                "object_id",
+                F2.pmod(F2.crc32(F2.col("doc_id").cast("string")), F2.lit(32)).alias("_salt"),
+            )
+            .count()
+            .count()
+        )
+        assert n_buckets >= 16  # 256 docs spread over ~all 32 buckets
