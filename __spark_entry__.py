@@ -387,6 +387,38 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates over the documents corpus. The text
+    is rewritten word-per-line (space → newline) on BOTH sides so the
+    duplicate-line metrics measure the corpus's real word repetition
+    instead of trivially reporting one unique line per single-line doc."""
+    from sssom_curator_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram_frac",
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every ~97th document plays the
+    evaluation benchmark; docs sharing any word 4-gram with it are
+    flagged (nonzero by construction — the benchmark rows self-flag, and
+    the corpus's repeated phrasing leaks into a handful of others)."""
+    from sssom_curator_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return decontaminate(docs, bench, n=4).select("doc_id", "contaminated")
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -916,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "mention_candidates": q_mention_candidates,
         "record_hash": q_record_hash,
         "curie_standardize": q_curie_standardize,
@@ -1207,6 +1241,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, replace(text, ' ', chr(10)) AS t FROM documents
+            ),
+            arr AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+                     list_filter(string_split_regex(trim(lower(t)), '\\s+'), w -> w <> '') AS words
+              FROM base
+            ),
+            linestats AS (
+              SELECT doc_id, words,
+                     len(lines) AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines) + 0.000000001, 6)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) > 0
+                          THEN round(1.0 - coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) * 1.0
+                                         / list_aggregate(list_transform(lines, x -> length(x)), 'sum') + 0.000000001, 6)
+                          ELSE 0.0 END AS dup_line_char_frac
+              FROM arr
+            ),
+            grams AS (
+              SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+              FROM linestats, UNNEST(generate_series(1, len(words) - 1)) AS u(i)
+              WHERE len(words) >= 2
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            ga AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM gc GROUP BY 1)
+            SELECT l.doc_id, CAST(l.n_lines AS BIGINT) AS n_lines, l.dup_line_frac,
+                   l.dup_line_char_frac,
+                   CASE WHEN ga.tot > 0 THEN round(ga.mx * 1.0 / ga.tot + 0.000000001, 6)
+                        ELSE 0.0 END AS top_2gram_frac
+            FROM linestats l LEFT JOIN ga USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH base AS (
+              SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS words
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(words[i:i+3], ' ') AS g
+              FROM base, UNNEST(generate_series(1, len(words) - 3)) AS u(i)
+              WHERE len(words) >= 4
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
+            SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN cont c USING (doc_id)
         """,
         "mention_candidates": """
             WITH toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),

@@ -85,6 +85,8 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "langid_quality",
         "fingerprint",
         "token_count_bpe",
+        "repetition_stats",
+        "decontaminate",
         "mention_candidates",
     ):
         runs = [

@@ -31,6 +31,7 @@ __all__ = [
     "quality_score",
     "langid_heuristic",
     "doc_fingerprint",
+    "repetition_stats",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -152,4 +153,103 @@ def doc_fingerprint(
             }
         )
         .drop("_fp_norm")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
+    standard training-corpus repetition gates): per document
+
+    - ``n_lines``: non-blank lines (``line_sep``-delimited);
+    - ``dup_line_frac``: fraction of lines that duplicate another line;
+    - ``dup_line_char_frac``: fraction of line characters inside
+      duplicate occurrences (chars of distinct lines counted once);
+    - ``top_2gram_frac``: fraction of word-2-gram instances taken by the
+      most frequent 2-gram (keyword-stuffing / boilerplate signal).
+
+    Scale shape: the line metrics are pure array algebra per row
+    (``array_distinct`` + ``aggregate`` — whole-stage codegen, no
+    shuffle). The 2-gram mode needs a frequency table, which no
+    higher-order function provides, so it is one explode + groupBy keyed
+    (doc_id, gram) — every shuffle key carries the doc id, so hub grams
+    cannot concentrate (the same posture as the shingle operators) — then
+    a per-doc max/sum merge and a join back on doc_id. Not present in the
+    reference (its corpus is curated mappings, not web text); sibling of
+    the quality/langid gates above.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, line_sep), lambda x: F.trim(x) != "")
+    distinct_lines = F.array_distinct(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731 — local expression builder
+        arr, F.lit(0).cast("long"), lambda s, x: s + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        # bind the arrays as real columns before reusing them in several
+        # expressions (an unbound expression inside aggregate/transform
+        # lambdas re-evaluates per element — the doc_fingerprint lesson)
+        lines.alias("_lines"),
+        distinct_lines.alias("_dlines"),
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "").alias("_words"),
+    )
+    n_lines = F.size("_lines")
+    n_line_chars = chars(F.col("_lines"))
+    line_stats = base.select(
+        "doc_id",
+        "_words",
+        n_lines.alias("n_lines"),
+        stable_round(
+            F.when(n_lines > 0, 1.0 - F.size("_dlines") / n_lines).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        stable_round(
+            F.when(
+                n_line_chars > 0,
+                1.0 - chars(F.col("_dlines")) / n_line_chars,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    nw = F.size("_words")
+    grams = line_stats.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                nw >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), nw - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.get(F.col("_words"), i - 1), F.get(F.col("_words"), i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+    )
+    return (
+        line_stats.drop("_words")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            stable_round(
+                F.when(F.col("_tot") > 0, F.col("_mx") / F.col("_tot")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("top_2gram_frac"),
+        )
     )

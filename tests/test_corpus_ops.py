@@ -1,0 +1,111 @@
+"""Repetition gates + benchmark decontamination (Gopher/GPT-3-style
+training-corpus hygiene operators)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+from sssom_curator_spark.operators.decontam import decontaminate
+from sssom_curator_spark.operators.textstats import repetition_stats
+
+
+class TestRepetitionStats:
+    def _stats(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    def test_hand_computed_document(self, spark):
+        got = self._stats(
+            spark,
+            [
+                # 4 lines, "dup" twice -> 3 distinct; chars 3+3+5+7=18,
+                # distinct chars 3+5+7=15; words: dup dup hello a b a b ->
+                # 2-grams [dup dup, dup hello, hello a, a b, b a, a b]:
+                # top "a b" = 2 of 6
+                ("d1", "dup\ndup\nhello\na b a b"),
+            ],
+        )["d1"]
+        assert got["n_lines"] == 4
+        assert got["dup_line_frac"] == round(1 - 3 / 4, 6)
+        assert got["dup_line_char_frac"] == round(1 - 15 / 18, 6)
+        assert got["top_2gram_frac"] == round(2 / 6, 6)
+
+    def test_degenerate_documents(self, spark):
+        got = self._stats(
+            spark,
+            [
+                ("empty", ""),
+                ("null", None),
+                ("oneword", "hello"),
+                ("blanklines", "\n\n  \n"),
+            ],
+        )
+        for doc in ("empty", "null", "blanklines"):
+            assert got[doc]["n_lines"] == 0
+            assert got[doc]["dup_line_frac"] == 0.0
+            assert got[doc]["dup_line_char_frac"] == 0.0
+            assert got[doc]["top_2gram_frac"] == 0.0
+        assert got["oneword"]["n_lines"] == 1
+        assert got["oneword"]["top_2gram_frac"] == 0.0  # no 2-grams
+
+    def test_no_repetition_scores_zero(self, spark):
+        got = self._stats(spark, [("clean", "alpha\nbeta\ngamma delta")])["clean"]
+        assert got["dup_line_frac"] == 0.0
+        assert got["dup_line_char_frac"] == 0.0
+        # all 2-grams distinct: top = 1/n
+        assert got["top_2gram_frac"] == round(1 / 3, 6)
+
+
+class TestDecontaminate:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("leak", "intro text the quick brown fox jumps over the lazy dog outro"),
+                ("clean", "completely unrelated content about mapping curation at scale"),
+                ("short", "tiny doc"),
+            ],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame(
+            [("q1", "The quick brown fox jumps over the lazy dog")],
+            "qid string, text string",
+        )
+        return docs, bench
+
+    def test_flag_mode(self, spark):
+        docs, bench = self._fixture(spark)
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=8).collect()
+        }
+        assert got == {"leak": True, "clean": False, "short": False}
+
+    def test_drop_mode(self, spark):
+        docs, bench = self._fixture(spark)
+        kept = sorted(
+            r["doc_id"] for r in decontaminate(docs, bench, n=8, action="drop").collect()
+        )
+        assert kept == ["clean", "short"]
+
+    def test_empty_benchmark_flags_nothing(self, spark):
+        docs, _ = self._fixture(spark)
+        bench = spark.createDataFrame([], "qid string, text string")
+        got = decontaminate(docs, bench, n=8)
+        assert all(not r["contaminated"] for r in got.collect())
+
+    def test_bad_action_raises(self, spark):
+        docs, bench = self._fixture(spark)
+        with pytest.raises(ValueError, match="flag"):
+            decontaminate(docs, bench, action="purge")
+
+    def test_case_and_whitespace_insensitive(self, spark):
+        docs = spark.createDataFrame(
+            [("d", "THE  Quick\tBrown FOX jumps over the lazy dog")],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame(
+            [("q", "the quick brown fox jumps over the lazy dog")],
+            "qid string, text string",
+        )
+        assert decontaminate(docs, bench, n=8).collect()[0]["contaminated"]
