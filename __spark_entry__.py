@@ -419,6 +419,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=4).select("doc_id", "contaminated")
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-keyed dedup counts. The testdata has no
+    URL column, so both sides synthesize the same crawl-variant URLs from
+    ``orders`` (scheme/host case, default ports, tracking params, param
+    order, trailing slash, fragments all vary) and count collapses per
+    canonical form."""
+    from sssom_curator_spark.functions.url_ops import canonicalize_url
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = (
+        F.when(k % 3 == 0, F.lit("HTTP://WWW.Shop.COM:80"))
+        .when(k % 3 == 1, F.lit("https://www.shop.com:443"))
+        .otherwise(F.lit("https://shop.com"))
+    )
+    tail = F.when(k % 2 == 0, F.lit("/?utm_source=mail&b=2&a=1")).otherwise(
+        F.lit("?a=1&b=2&fbclid=x")
+    )
+    frag = F.when(k % 5 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.concat(
+        base, F.lit("/Item/"), (F.col("o_custkey") % 50).cast("string"), tail, frag
+    )
+    return (
+        o.select(canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -948,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
+        "url_canonicalize": q_url_canonicalize,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "mention_candidates": q_mention_candidates,
@@ -1241,6 +1271,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "url_canonicalize": """
+            WITH raw AS (
+              SELECT CASE o_orderkey % 3
+                       WHEN 0 THEN 'HTTP://WWW.Shop.COM:80'
+                       WHEN 1 THEN 'https://www.shop.com:443'
+                       ELSE 'https://shop.com' END
+                     || '/Item/' || CAST(o_custkey % 50 AS VARCHAR)
+                     || CASE WHEN o_orderkey % 2 = 0 THEN '/?utm_source=mail&b=2&a=1'
+                             ELSE '?a=1&b=2&fbclid=x' END
+                     || CASE WHEN o_orderkey % 5 = 0 THEN '#top' ELSE '' END AS url
+              FROM orders
+            ),
+            nofrag AS (SELECT string_split(trim(url), '#')[1] AS u FROM raw),
+            parts AS (
+              SELECT CASE WHEN strpos(u, '?') > 0 THEN u[1:strpos(u,'?')-1] ELSE u END AS pre_q,
+                     CASE WHEN strpos(u, '?') > 0 THEN u[strpos(u,'?')+1:] ELSE '' END AS q
+              FROM nofrag
+            ),
+            sch AS (
+              SELECT lower(pre_q[1:strpos(pre_q,'://')-1]) AS scheme,
+                     pre_q[strpos(pre_q,'://')+3:] AS rest, q
+              FROM parts
+            ),
+            hostpath AS (
+              SELECT scheme, q,
+                     CASE WHEN strpos(rest,'/') > 0 THEN rest[1:strpos(rest,'/')-1] ELSE rest END AS hostport,
+                     CASE WHEN strpos(rest,'/') > 0 THEN rest[strpos(rest,'/'):] ELSE '' END AS path
+              FROM sch
+            ),
+            hp AS (
+              SELECT scheme, path,
+                     lower(CASE WHEN strpos(hostport,':') > 0 THEN hostport[1:strpos(hostport,':')-1] ELSE hostport END) AS host,
+                     CASE WHEN strpos(hostport,':') > 0 THEN hostport[strpos(hostport,':')+1:] ELSE '' END AS port,
+                     list_sort(list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')
+                            AND NOT starts_with(p, 'fbclid=')
+                            AND NOT starts_with(p, 'gclid='))) AS keep
+              FROM hostpath
+            )
+            SELECT scheme || '://' ||
+                   CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN host ELSE host || ':' || port END ||
+                   regexp_replace(path, '/+$', '') ||
+                   CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END
+                     AS canonical_url,
+                   count(*) AS n
+            FROM hp GROUP BY 1
         """,
         "repetition_stats": """
             WITH base AS (

@@ -109,3 +109,43 @@ class TestDecontaminate:
             "qid string, text string",
         )
         assert decontaminate(docs, bench, n=8).collect()[0]["contaminated"]
+
+
+class TestCanonicalizeUrl:
+    CASES = [
+        # (input, expected)
+        ("HTTPS://WWW.Shop.COM:443/Item/3/?utm_source=m&b=2&a=1#top",
+         "https://www.shop.com/Item/3?a=1&b=2"),
+        ("http://Host.org:80/a/b/", "http://host.org/a/b"),
+        ("http://host.org:8080/a", "http://host.org:8080/a"),  # non-default port kept
+        ("https://host.org/path?fbclid=xyz&gclid=1&utm_campaign=2",
+         "https://host.org/path"),  # all params tracking -> '?' dropped
+        ("https://host.org", "https://host.org"),  # no path/query
+        ("https://host.org/?z=1&a=2", "https://host.org?a=2&z=1"),  # sorted
+        ("https://host.org/CaseSensitive/Path", "https://host.org/CaseSensitive/Path"),
+        ("  https://host.org/x  ", "https://host.org/x"),  # trimmed
+        ("https://host.org/x?utmost=1", "https://host.org/x?utmost=1"),  # prefix, not LIKE _
+    ]
+
+    def test_hand_cases(self, spark):
+        from sssom_curator_spark.functions.url_ops import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+        for (raw, want), g in zip(self.CASES, got):
+            assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+    def test_url_dedup_collapses_variants(self, spark):
+        from sssom_curator_spark.functions.url_ops import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                ("HTTP://A.com:80/x?utm_source=1",),
+                ("http://a.com/x",),
+                ("http://a.com/y",),
+            ],
+            "url string",
+        )
+        kept = sorted(r["url"] for r in url_dedup(df).collect())
+        # min raw url wins among the two /x variants ('HTTP...' < 'http...')
+        assert kept == ["HTTP://A.com:80/x?utm_source=1", "http://a.com/y"]
