@@ -149,3 +149,73 @@ class TestCanonicalizeUrl:
         kept = sorted(r["url"] for r in url_dedup(df).collect())
         # min raw url wins among the two /x variants ('HTTP...' < 'http...')
         assert kept == ["HTTP://A.com:80/x?utm_source=1", "http://a.com/y"]
+
+
+class TestCanonicalizeUrlProperties:
+    """Algebraic invariants over generated URLs (hypothesis)."""
+
+    @staticmethod
+    def _spark():
+        from tests.test_functions import get_cached_spark
+
+        return get_cached_spark()
+
+    def _canon(self, urls):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.url_ops import canonicalize_url
+
+        df = self._spark().createDataFrame([(u,) for u in urls], "url string")
+        return [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+
+    def test_idempotent_and_variant_insensitive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # hostnames/paths are ASCII in practice (IDN hosts travel as
+        # punycode); exotic-Unicode upper/lower round-trips differ between
+        # Python and the JVM and are out of contract
+        seg = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=6)
+
+        @st.composite
+        def url_variants(draw):
+            scheme = draw(st.sampled_from(["http", "https"]))
+            host = ".".join(draw(st.lists(seg, min_size=2, max_size=3)))
+            path = "/" + "/".join(draw(st.lists(seg, min_size=0, max_size=3)))
+            params = draw(
+                st.lists(
+                    st.tuples(seg, seg).map(lambda kv: f"{kv[0]}{kv[1]}=1"),
+                    max_size=3,
+                    unique=True,
+                )
+            )
+            tracking = draw(st.lists(st.sampled_from(
+                ["utm_source=x", "utm_campaign=y", "fbclid=z", "gclid=w"]), max_size=2))
+            frag = draw(st.sampled_from(["", "#top"]))
+            shuffled = draw(st.permutations(params + tracking))
+            q = "&".join(shuffled)
+            default_port = ":80" if scheme == "http" else ":443"
+            port = draw(st.sampled_from(["", default_port]))
+            # case-vary the host on one variant; add trailing slash on another
+            base = f"{scheme}://{host}{port}{path}"
+            v1 = base + (f"?{q}" if q else "") + frag
+            v2 = (
+                f"{scheme}://{host.upper()}{path}"
+                + ("/" if not path.endswith("/") else "")
+                + (f"?{'&'.join(draw(st.permutations(params)))}" if params else "")
+            )
+            return v1, v2
+
+        @given(url_variants())
+        @settings(max_examples=15, deadline=None)
+        def run(pair):
+            v1, v2 = pair
+            c1, c2 = self._canon([v1, v2])
+            # crawl variants (case/port/tracking/param-order/slash/fragment)
+            # collapse to one canonical form
+            assert c1 == c2, (v1, v2)
+            # canonicalization is idempotent
+            again = self._canon([c1])[0]
+            assert again == c1
+
+        run()
