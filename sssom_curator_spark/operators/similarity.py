@@ -192,6 +192,42 @@ def _banded(
     ).select(id_alias, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _rerank_pairs(
+    pairs: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of an id-pair candidate frame with per-VECTOR
+    precomputed double-casts and norms: candidate sets are orders of
+    magnitude larger than the corpus (every pair re-reads two vectors), so
+    folding the cast and both norm aggregations into the side frames cuts
+    the per-pair higher-order-function work to ONE dot product. The
+    doubles and their sequential summation order are exactly those of
+    :func:`cosine_sim_col`, so scores are bit-identical to the per-pair
+    formulation (and to the DuckDB oracle replays)."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda s, x: s + x * x))
+    lv = left.select(F.col(id_col).alias(left_key), dvec.alias("_lv"), norm.alias("_ln"))
+    rv = right.select(F.col(id_col).alias(right_key), dvec.alias("_rv"), norm.alias("_rn"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_lv"), F.col("_rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    denom = F.col("_ln") * F.col("_rn")
+    sim = F.round(F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 4)
+    return (
+        pairs.join(lv, on=left_key)
+        .join(rv, on=right_key)
+        .select(left_key, right_key, sim.alias("cosine"))
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -230,16 +266,10 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        cand.join(qv, on="query_id")
-        .join(cv, on="neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_sim_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+    scored = _rerank_pairs(
+        cand, queries, corpus,
+        left_key="query_id", right_key="neighbor_id",
+        id_col=id_col, vec_col=vec_col,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id").asc())
     return (
@@ -341,24 +371,35 @@ def cosine_topk_ivf(
         top = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([[ids[j] for j in row] for row in top])
 
+    # cast + norm computed once per VECTOR before the cell join (the join
+    # fans each vector out to every probe match — per-pair norms would
+    # redo both aggregations per candidate); doubles and summation order
+    # match cosine_sim_col exactly, so scores are bit-identical.
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vnorm = F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda s, x: s + x * x))
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
+        dvec.alias("_cv"),
+        vnorm.alias("_cn"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
+        dvec.alias("_qv"),
+        vnorm.alias("_qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.round(F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 4)
     scored = (
         probed.join(assigned, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_sim_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id").asc())
     return (
@@ -420,13 +461,7 @@ def cosine_near_duplicates(
         .localCheckpoint()
     )
     banded.unpersist()
-    va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(va, on="doc_a")
-        .join(vb, on="doc_b")
-        .select(
-            "doc_a", "doc_b", cosine_sim_col(F.col("_va"), F.col("_vb")).alias("cosine")
-        )
-        .filter(F.col("cosine") >= cutoff)
-    )
+    return _rerank_pairs(
+        cand, df, df, left_key="doc_a", right_key="doc_b",
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col("cosine") >= cutoff)
