@@ -686,6 +686,7 @@ def q_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p:``/``s:`` prefixes (the 200–300 overlap exercises dedup, the
     aliases exercise C5 standardization); confidence derives from the key
     columns only so the dedup winner is value-deterministic."""
+    import shutil
     import tempfile
 
     from sssom_curator_spark.io.sssom_tsv import (
@@ -734,7 +735,12 @@ def q_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         alias_map={"p": "P", "s": "S"},
     )
     out, _, _ = read_sssom_tsv(spark, path)
-    return out.select("subject_id", "predicate_id", "object_id", "confidence")
+    # materialize before deleting the temp dir (the TSV scan is lazy)
+    result = out.select(
+        "subject_id", "predicate_id", "object_id", "confidence"
+    ).localCheckpoint()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return result
 
 
 def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
