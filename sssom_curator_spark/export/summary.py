@@ -201,7 +201,12 @@ def zero_filled_histogram(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-def chart_data(repository: DataFrame, *, components: DataFrame | None = None) -> dict:
+def chart_data(
+    repository: DataFrame,
+    *,
+    components: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> dict:
     """S9 chart aggregates (reference export/charts.py:32-184 renders
     these three Counter series with matplotlib; the container has no
     matplotlib, so the sink is the DATA — the distributed aggregations —
@@ -214,7 +219,12 @@ def chart_data(repository: DataFrame, *, components: DataFrame | None = None) ->
     - ``relations``: predicate counts, most-common order
       (charts.py:172-177).
     """
-    sizes = component_stats(repository, components=components).select("n_nodes")
+    # ``stats``: reuse an already-built component_stats frame (make_reports
+    # returns one — recomputing the per-component aggregation here would
+    # run that job twice per export)
+    if stats is None:
+        stats = component_stats(repository, components=components)
+    sizes = stats.select("n_nodes")
     size_hist = {
         int(r["size"]): int(r["count"])
         for r in zero_filled_histogram(sizes, "n_nodes").collect()
@@ -256,11 +266,12 @@ def make_reports(repository: DataFrame) -> dict:
     materialized CC frame); ``chart_data`` is collected driver-side as
     before."""
     comps = positive_components(repository)
+    stats = component_stats(repository, components=comps)
     return {
-        "component_stats": component_stats(repository, components=comps),
+        "component_stats": stats,
         "unstable_components": unstable_components(repository, components=comps),
         "incomplete_components": incomplete_components(repository, components=comps),
-        "chart_data": chart_data(repository, components=comps),
+        "chart_data": chart_data(repository, components=comps, stats=stats),
     }
 
 

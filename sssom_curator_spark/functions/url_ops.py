@@ -76,15 +76,26 @@ def canonicalize_url(col: Column | str) -> Column:
 def url_dedup(
     pages: DataFrame, *, url_col: str = "url", id_col: str | None = None
 ) -> DataFrame:
-    """URL-keyed exact dedup: keep one page per canonical URL.
+    """URL-keyed exact dedup: keep EXACTLY one page per canonical URL.
 
-    The winner is deterministic — minimum ``id_col`` (default: the raw URL
-    string itself, so re-crawled case/tracking variants collapse to the
-    lexicographically first raw form). One shuffle on the canonical key,
-    same posture as :func:`sssom_curator_spark.operators.dedup.exact_dedup`.
+    The winner is the minimum ``id_col`` (default: the raw URL string, so
+    re-crawled case/tracking variants collapse to the lexicographically
+    first raw form); ties on ``id_col`` — the same raw URL re-crawled —
+    break on a content hash of the full row, so the winner is
+    deterministic whenever the tied rows differ anywhere, and exactly one
+    of a set of fully-identical rows survives. One shuffle on the
+    canonical key (the window), same posture as
+    :func:`sssom_curator_spark.operators.dedup.exact_dedup`.
     """
-    from sssom_curator_spark.operators.dedup import exact_dedup
+    from pyspark.sql import Window
 
+    key = id_col or url_col
     tagged = pages.withColumn("_curl", canonicalize_url(url_col))
-    out = exact_dedup(tagged, ["_curl"], id_col=id_col or url_col)
-    return out.drop("_curl")
+    w = Window.partitionBy("_curl").orderBy(
+        F.col(key).asc(), F.xxhash64(F.struct(*pages.columns)).asc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_curl", "_rn")
+    )

@@ -17,17 +17,14 @@ flow through a distinct. Grams travel as md5 hashes, never the raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# shared tokenizer: the DuckDB oracles replay this exact rule for both
+# this module and repetition_stats — one definition only
+from sssom_curator_spark.operators.textstats import norm_words as _words
+
 __all__ = ["text_ngrams", "benchmark_ngrams", "decontaminate"]
-
-
-def _words(text: Column) -> Column:
-    return F.filter(
-        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
-        lambda w: w != "",
-    )
 
 
 def text_ngrams(

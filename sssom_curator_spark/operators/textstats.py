@@ -26,6 +26,7 @@ def stable_round(col, scale: int):
 
 __all__ = [
     "stable_round",
+    "norm_words",
     "token_count",
     "quality_features",
     "quality_score",
@@ -55,6 +56,14 @@ def token_count(col: Column | str, *, pattern: str = TOKEN_PATTERN) -> Column:
 
 def _words(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def norm_words(col: Column) -> Column:
+    """THE shared word tokenizer of the corpus-hygiene family: lowercase,
+    trim, split on whitespace runs, drop empties. ``repetition_stats``
+    and :mod:`sssom_curator_spark.operators.decontam` both key their
+    DuckDB oracles on this exact rule — change it in one place only."""
+    return F.filter(_words(F.coalesce(col, F.lit(""))), lambda w: w != "")
 
 
 def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -176,7 +185,8 @@ def repetition_stats(
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
     standard training-corpus repetition gates): per document
 
-    - ``n_lines``: non-blank lines (``line_sep``-delimited);
+    - ``n_lines``: non-blank lines (``line_sep``-delimited; the separator
+      is escaped, so it is a literal string, not a regex);
     - ``dup_line_frac``: fraction of lines that duplicate another line;
     - ``dup_line_char_frac``: fraction of line characters inside
       duplicate occurrences (chars of distinct lines counted once);
@@ -193,8 +203,10 @@ def repetition_stats(
     reference (its corpus is curated mappings, not web text); sibling of
     the quality/langid gates above.
     """
+    import re as _re
+
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(text, line_sep), lambda x: F.trim(x) != "")
+    lines = F.filter(F.split(text, _re.escape(line_sep)), lambda x: F.trim(x) != "")
     distinct_lines = F.array_distinct(lines)
     chars = lambda arr: F.aggregate(  # noqa: E731 — local expression builder
         arr, F.lit(0).cast("long"), lambda s, x: s + F.length(x)
@@ -206,7 +218,7 @@ def repetition_stats(
         # lambdas re-evaluates per element — the doc_fingerprint lesson)
         lines.alias("_lines"),
         distinct_lines.alias("_dlines"),
-        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "").alias("_words"),
+        norm_words(F.col(text_col)).alias("_words"),
     )
     n_lines = F.size("_lines")
     n_line_chars = chars(F.col("_lines"))

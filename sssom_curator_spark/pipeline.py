@@ -277,7 +277,12 @@ def build_kg(
         # run (measured: 22s → 12.5s at 60k pages/8 cores). The frame is
         # surface-count-sized, so the eager localCheckpoint costs one
         # small job; same root cause as the near-dup self-join double
-        # scan (round-4 fix), one lineage instead of two.
+        # scan (round-4 fix), one lineage instead of two. Eagerness note:
+        # this does NOT make lazy mode eager-er — lazy build_kg already
+        # materializes `accepted` (persist+count below) during
+        # construction, and this checkpoint merely moves part of that one
+        # scan earlier; eager/snapshot modes read the already-materialized
+        # evidence stage, so the checkpoint is a cheap local job there.
         surface_evidence = surface_evidence.localCheckpoint()
         # Evidence attaches via two broadcast *equi*-joins (subject side,
         # object side) — NOT one OR-condition join. An OR non-equi

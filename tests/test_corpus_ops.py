@@ -219,3 +219,30 @@ class TestCanonicalizeUrlProperties:
             assert again == c1
 
         run()
+
+
+class TestUrlDedupTies:
+    def test_identical_raw_urls_keep_exactly_one(self, spark):
+        """Ties on the winner key (same raw URL re-crawled) must still
+        yield exactly ONE row per canonical URL (code-review finding:
+        the min-key semi-join kept every row tying for the minimum)."""
+        from sssom_curator_spark.functions.url_ops import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                ("http://a.com/x", "crawl1"),
+                ("http://a.com/x", "crawl2"),  # same raw url, tie on key
+                ("HTTP://A.com:80/x?utm_source=1", "crawl3"),
+                ("http://a.com/y", "crawl4"),
+            ],
+            "url string, crawl string",
+        )
+        kept = url_dedup(df).collect()
+        assert len(kept) == 2  # one per canonical URL
+        by_url = sorted((r["url"], r["crawl"]) for r in kept)
+        # min raw url wins; among the two identical raw urls the content
+        # hash picks one deterministically
+        assert by_url[0][0] == "HTTP://A.com:80/x?utm_source=1"
+        assert by_url[1] == ("http://a.com/y", "crawl4")
+        again = sorted((r["url"], r["crawl"]) for r in url_dedup(df.repartition(7)).collect())
+        assert again == by_url  # partition-invariant winner
