@@ -419,6 +419,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=4).select("doc_id", "contaminated")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (C4-style boilerplate removal).
+    Both sides append a corpus-wide footer paragraph to every document
+    (plus a second promo paragraph on every third) and a per-doc unique
+    uid paragraph: the dedup must drop exactly the shared paragraphs and
+    reassemble body + uid in original order."""
+    from sssom_curator_spark.operators.dedup import drop_repeated_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nsubscribe to our newsletter")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\nuid "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return drop_repeated_paragraphs(docs).select("doc_id", "text")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-keyed dedup counts. The testdata has no
     URL column, so both sides synthesize the same crawl-variant URLs from
@@ -983,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_quality": q_langid_quality,
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
+        "paragraph_dedup": q_paragraph_dedup,
         "url_canonicalize": q_url_canonicalize,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -1277,6 +1301,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "paragraph_dedup": """
+            WITH d2 AS (
+              SELECT doc_id, text || chr(10) || 'all rights reserved' ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+                     chr(10) || 'uid ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id, i AS pos, p[i] AS para
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM d2),
+                   UNNEST(generate_series(1, len(p))) AS u(i)
+            ),
+            hot AS (
+              SELECT para FROM (
+                SELECT para, count(DISTINCT doc_id) AS d
+                FROM paras WHERE trim(para) <> '' GROUP BY 1
+              ) WHERE d > 1
+            ),
+            kept AS (SELECT * FROM paras WHERE para NOT IN (SELECT para FROM hot)),
+            agg AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d2.doc_id, coalesce(agg.text, '') AS text
+            FROM d2 LEFT JOIN agg USING (doc_id)
         """,
         "url_canonicalize": """
             WITH raw AS (

@@ -87,6 +87,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "token_count_bpe",
         "repetition_stats",
         "decontaminate",
+        "paragraph_dedup",
         "url_canonicalize",
         "mention_candidates",
     ):

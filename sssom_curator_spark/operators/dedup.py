@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signature",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "drop_repeated_paragraphs",
     "simhash",
     "simhash_near_duplicates",
 ]
@@ -372,3 +373,62 @@ def simhash_near_duplicates(
     result = cand.localCheckpoint()
     sig.unpersist()
     return result
+
+
+def drop_repeated_paragraphs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph dedup — the C4/RefinedWeb "remove lines
+    repeated across the corpus" cleaning stage: drop every non-blank
+    paragraph appearing in more than ``max_df`` distinct documents
+    (boilerplate footers, cookie banners, navigation text), keep each
+    document's remaining paragraphs in original order. ``sep`` is a
+    literal separator (escaped, not a regex). Returns ``docs`` with
+    ``text_col`` rewritten (documents that lose every paragraph keep an
+    empty string).
+
+    Scale shape: paragraph explode is map-side; the document-frequency
+    table groups on md5(paragraph) (hashes shuffle, never the text); the
+    hot set joins back by hash (AQE broadcasts it when small — it is
+    bounded by the corpus's repeated content, not the corpus); the one
+    inherent corpus-sized shuffle is the per-document reassembly groupBy.
+    """
+    import re as _re
+
+    paras = docs.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("_pos", "_para"),
+    )
+    hot = (
+        paras.filter(F.trim("_para") != "")
+        .groupBy(F.md5("_para").alias("_h"))
+        .agg(F.countDistinct("_pid").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_h")
+    )
+    kept = paras.join(hot, on=F.md5(paras["_para"]) == hot["_h"], how="left_anti")
+    rebuilt = kept.groupBy("_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("_rebuilt")
+    )
+    joined = docs.join(
+        rebuilt.withColumnRenamed("_pid", id_col), on=id_col, how="left"
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(c) if c == text_col else F.col(c)
+            for c in docs.columns
+        ]
+    )

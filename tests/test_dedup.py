@@ -168,3 +168,56 @@ class TestSingleSignatureScan:
         got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
         assert ("d01", "d02") in got  # still correct
         assert acc.value == 6  # one scan of the 6-doc corpus, not 2+
+
+
+class TestParagraphDedup:
+    def test_boilerplate_dropped_order_kept(self, spark):
+        from sssom_curator_spark.operators.dedup import drop_repeated_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                ("d1", "unique body one\nall rights reserved\nuid 1"),
+                ("d2", "unique body two\nall rights reserved\nuid 2"),
+                ("d3", "all rights reserved"),  # only boilerplate -> empty
+                ("d4", "first\n\nsecond\nall rights reserved"),  # blank kept
+                ("d5", None),
+            ],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: r["text"] for r in drop_repeated_paragraphs(docs).collect()}
+        assert got["d1"] == "unique body one\nuid 1"
+        assert got["d2"] == "unique body two\nuid 2"
+        assert got["d3"] == ""
+        assert got["d4"] == "first\n\nsecond"
+        assert got["d5"] == ""  # null text -> one blank para -> kept as ''
+
+    def test_max_df_threshold(self, spark):
+        from sssom_curator_spark.operators.dedup import drop_repeated_paragraphs
+
+        docs = spark.createDataFrame(
+            [("a", "shared\nown a"), ("b", "shared\nown b"), ("c", "solo c")],
+            "doc_id string, text string",
+        )
+        # max_df=2: 'shared' (df=2) survives
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_repeated_paragraphs(docs, max_df=2).collect()
+        }
+        assert got == {"a": "shared\nown a", "b": "shared\nown b", "c": "solo c"}
+        # within-document repetition alone never triggers the cross-doc rule
+        one = spark.createDataFrame(
+            [("x", "rep\nrep\nbody")], "doc_id string, text string"
+        )
+        got1 = drop_repeated_paragraphs(one).collect()[0]["text"]
+        assert got1 == "rep\nrep\nbody"  # df=1, kept
+
+    def test_other_columns_preserved(self, spark):
+        from sssom_curator_spark.operators.dedup import drop_repeated_paragraphs
+
+        docs = spark.createDataFrame(
+            [("a", "shared\nown a", 7), ("b", "shared\nown b", 9)],
+            "doc_id string, text string, extra int",
+        )
+        rows = {r["doc_id"]: r for r in drop_repeated_paragraphs(docs).collect()}
+        assert rows["a"]["extra"] == 7 and rows["a"]["text"] == "own a"
+        assert list(rows["a"].asDict()) == ["doc_id", "text", "extra"]
