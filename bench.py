@@ -8,11 +8,12 @@ for the operator families ride along in ``queries``.
 
 Scaling evidence (north rule: throughput efficiency ≥ 0.8 between N and
 4N parallelism): ``python bench.py --scaling`` writes BENCH.md. Default
-mode ``executors`` (the faithful cluster shape): lo = one CPU-pinned
-local[N] JVM over the full corpus, hi = 4 separate pinned local[N] JVMs
-over disjoint shards, trials alternating with the inactive side
-SIGSTOP-frozen. ``BENCH_SCALING_MODE=stopfreeze`` (single fat hi JVM)
-and ``serial`` are the conservative variants.
+mode ``cluster`` (the conclusive shape): ONE global Spark job per level
+on real ``local-cluster[k,c,mem]`` executor JVMs pinned to disjoint core
+slices — every exchange is paid across executors at the 4N level; trials
+alternate levels with the inactive side SIGSTOP-frozen.
+``BENCH_SCALING_MODE=executors`` (sharded upper bound), ``stopfreeze``
+(single fat hi JVM, lower bound) and ``serial`` are the variants.
 """
 
 from __future__ import annotations
