@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_counts", "incremental_mention_stream", "streaming_first_seen"]
+__all__ = ["windowed_event_counts", "incremental_mention_stream", "streaming_first_seen", "decontaminate_stream"]
 
 
 def windowed_event_counts(
@@ -137,4 +137,47 @@ def streaming_first_seen(
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def decontaminate_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    *,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Streaming benchmark decontamination: ``foreachBatch`` runs the
+    batch operator (:func:`sssom_curator_spark.operators.decontam.
+    decontaminate`) on each micro-batch against the STATIC benchmark
+    dimension (an evaluation suite changes per release, not per batch) and
+    appends the flagged rows — the same incremental shape as
+    :func:`incremental_mention_stream`. Contamination is a per-document
+    property, so no cross-batch state or watermark is needed; a direct
+    stream-side join-back would be a stream-stream outer join (unsupported
+    without watermark gymnastics), which is exactly why the flagging runs
+    inside the batch engine per increment.
+
+    Returns the started StreamingQuery (caller awaits/stops it).
+    """
+    from sssom_curator_spark.operators.decontam import decontaminate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = decontaminate(
+            batch_df, benchmark, id_col=id_col, text_col=text_col, n=n
+        )
+        (
+            flagged.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -96,3 +96,41 @@ class TestStreamingFirstSeen:
             for r in spark.read.parquet(out_dir).collect()
         }
         assert got == {"k1": "d1", "k2": "d3", "k3": "d5"}
+
+
+class TestStreamingDecontamination:
+    def test_stream_matches_batch_flags(self, spark, tmp_path):
+        from sssom_curator_spark.operators.decontam import decontaminate
+        from sssom_curator_spark.streaming.incremental import decontaminate_stream
+
+        docs = spark.createDataFrame(
+            [
+                ("leak", "prefix the quick brown fox jumps over the lazy dog suffix"),
+                ("clean", "entirely different material on mapping curation at scale"),
+                ("leak2", "another page copying the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id string, text string",
+        )
+        bench = spark.createDataFrame(
+            [("q", "the quick brown fox jumps over the lazy dog")],
+            "qid string, text string",
+        )
+        src = str(tmp_path / "src")
+        docs.coalesce(2).write.parquet(src)
+        out = str(tmp_path / "flagged")
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = decontaminate_stream(
+            stream, bench, output_path=out, checkpoint_path=ckpt, n=8
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=8).collect()
+        }
+        assert got == want == {"leak": True, "clean": False, "leak2": True}
