@@ -1068,7 +1068,8 @@ SELECT u AS node, min(v) AS component FROM reach GROUP BY u
 
 def oracle_sql() -> dict[str, str]:
     mh_mins = ",\n    ".join(
-        f"min(md5('{i}' || '|' || shingle)) AS mh_{i}" for i in range(16)
+        f"min(substr(md5('{i // 4}' || '|' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh_{i}"
+        for i in range(16)
     )
     band_keys = " ".join(
         f"WHEN {b} THEN md5(mh_{2 * b} || '|' || mh_{2 * b + 1})" for b in range(8)
