@@ -419,6 +419,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=4).select("doc_id", "contaminated")
 
 
+def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination in the hard signal: the SAME corpus is
+    replayed as an availableNow micro-batched stream (two source files,
+    maxFilesPerTrigger=1 → two genuine ``foreachBatch`` increments
+    against the once-built benchmark dimension), and the appended output
+    is read back — the DuckDB oracle is the identical batch rule, so
+    stream ≡ batch is what the value-hash asserts."""
+    import shutil
+    import tempfile
+
+    from sssom_curator_spark.streaming.incremental import decontaminate_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    root = tempfile.mkdtemp(prefix="decontam_stream_")
+    try:
+        src = f"{root}/src"
+        docs.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = decontaminate_stream(
+            stream,
+            bench,
+            output_path=f"{root}/flagged",
+            checkpoint_path=f"{root}/ckpt",
+            n=4,
+        )
+        q.awaitTermination(300)
+        # Materialize before the temp dir vanishes; the result is
+        # corpus-sized-bounded (one row per doc).
+        out = spark.read.parquet(f"{root}/flagged").select("doc_id", "contaminated")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup (C4-style boilerplate removal).
     Both sides append a corpus-wide footer paragraph to every document
@@ -1010,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "decontaminate_stream": q_decontaminate_stream,
         "mention_candidates": q_mention_candidates,
         "record_hash": q_record_hash,
         "curie_standardize": q_curie_standardize,
@@ -1079,7 +1119,7 @@ def oracle_sql() -> dict[str, str]:
     es = "['el','la','de','que','y','en','un','es','los','por']"
     fr = "['le','la','de','et','un','est','pour','que','dans','les']"
 
-    return {
+    sql = {
         "prefix_pair_counts": """
             SELECT least(l_returnflag, l_linestatus) AS source_key,
                    greatest(l_returnflag, l_linestatus) AS target_key,
@@ -1821,3 +1861,7 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(subject_id, predicate_id, object_id, confidence)
         """,
     }
+    # The streaming replay is checked against the IDENTICAL batch rule:
+    # stream ≡ batch is exactly the equivalence the hard signal asserts.
+    sql["decontaminate_stream"] = sql["decontaminate"]
+    return sql

@@ -68,13 +68,14 @@ def benchmark_ngrams(
 
 def decontaminate(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 8,
     action: str = "flag",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Flag (``action="flag"``) or drop (``action="drop"``) documents
     sharing at least one word ``n``-gram with the benchmark.
@@ -82,10 +83,22 @@ def decontaminate(
     ``flag`` returns ``docs`` plus a ``contaminated`` boolean; ``drop``
     returns only the clean rows. The default ``n=8`` is a production
     setting; lower it for short benchmark prompts.
+
+    ``bench_grams`` accepts a PREBUILT :func:`benchmark_ngrams` frame
+    (``gram_hash`` column) instead of ``benchmark`` — the repeat-caller
+    path: :func:`~sssom_curator_spark.streaming.incremental.
+    decontaminate_stream` builds the dimension once and reuses it per
+    micro-batch rather than re-running the benchmark explode + distinct
+    shuffle every increment (the benchmark changes per evaluation-suite
+    release, not per batch).
     """
     if action not in ("flag", "drop"):
         raise ValueError(f"action must be 'flag' or 'drop', got {action!r}")
-    bench = F.broadcast(benchmark_ngrams(benchmark, text_col=bench_text_col, n=n))
+    if (benchmark is None) == (bench_grams is None):
+        raise ValueError("pass exactly one of benchmark or bench_grams")
+    if bench_grams is None:
+        bench_grams = benchmark_ngrams(benchmark, text_col=bench_text_col, n=n)
+    bench = F.broadcast(bench_grams)
     contaminated = (
         text_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
         .join(bench, on="gram_hash", how="left_semi")
