@@ -105,20 +105,26 @@ def _json_value(value: Any) -> Any:
     return value
 
 
-def _collect_mappings(merged: DataFrame) -> list[dict[str, Any]]:
+def _iter_mappings(merged: DataFrame):
     """Canonically sorted, linted mapping rows as plain dicts (non-null,
     TSV column order, record_id excluded — reference excludes unset fields
     via ``model_dump(exclude_none=True)``, export/merge.py:20-21).
 
-    The collect is intentional: JSON/OWL merge artifacts are single
-    driver-side files of the *curated* repository (human-scale — the
-    reference streams them through sssom-py's in-memory MSDF the same
-    way, export/merge.py:88-121). Corpus-scale outputs go through the
+    A GENERATOR over ``toLocalIterator``: the driver holds one partition
+    of rows at a time, never the merged set. JSON/OWL merge artifacts are
+    single driver-side files by nature (the reference streams them
+    through sssom-py, export/merge.py:88-121) and curated repositories
+    are usually human-scale — but the reference's largest advertised
+    input is SeMRA's 43.4M mappings (reference
+    repository.py:941-996), where a full ``collect()`` of row dicts
+    would exhaust the driver; the sinks below therefore serialize
+    incrementally and only ACCUMULATE when the caller asks for the
+    in-memory document back (``return_document=True``, the human-scale
+    convenience default). Corpus-scale outputs go through the
     TSV/Iceberg sinks.
     """
     linted = lint_frame(merged, sort=True, drop_duplicates=True)
     cols = [c for c in TSV_COLUMN_ORDER if c != "record_id" and c in linted.columns]
-    rows = []
     for row in linted.select(*cols).toLocalIterator(prefetchPartitions=True):
         d = {}
         for c in cols:
@@ -126,8 +132,13 @@ def _collect_mappings(merged: DataFrame) -> list[dict[str, Any]]:
             if v is None or (isinstance(v, list) and not v):
                 continue
             d[c] = _json_value(v)
-        rows.append(d)
-    return rows
+        yield d
+
+
+def _json_fragment(obj: Any, base_indent: int) -> str:
+    """``json.dumps`` fragment re-indented to sit at ``base_indent``."""
+    s = json.dumps(obj, indent=2, sort_keys=True, ensure_ascii=False)
+    return s.replace("\n", "\n" + " " * base_indent)
 
 
 def merge_to_json(
@@ -137,26 +148,51 @@ def merge_to_json(
     prefix_map: dict[str, str],
     alias_map: dict[str, str] | None = None,
     metadata: dict[str, Any] | None = None,
-) -> dict[str, Any]:
+    return_document: bool = True,
+) -> dict[str, Any] | None:
     """S6 JSON merge sink (reference export/merge.py:112-117 delegates to
     sssom-py ``write_json``; sssom-py is not in this container, so the
     document structure — mapping-set metadata + ``curie_map`` + a
     ``mappings`` list of non-null field dicts — is emitted directly,
     deterministically: sorted keys, canonical mapping order).
 
-    Returns the document (also written to ``path``).
+    The file is serialized INCREMENTALLY — one mapping dict crosses the
+    driver at a time (see :func:`_iter_mappings`; SeMRA-scale inputs are
+    43.4M mappings). With ``return_document=True`` (default, the
+    human-scale convenience) the document is also accumulated and
+    returned; pass ``False`` at scale to keep driver memory bounded and
+    get ``None`` back.
     """
     merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
-    doc: dict[str, Any] = {
+    head: dict[str, Any] = {
         **{k: _json_value(v) for k, v in sorted((metadata or {}).items())},
         "curie_map": dict(sorted(sub_map.items())),
-        "mappings": _collect_mappings(merged),
     }
+    collected: list[dict[str, Any]] | None = [] if return_document else None
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
-        json.dump(doc, handle, indent=2, sort_keys=True, ensure_ascii=False)
-        handle.write("\n")
-    return doc
+        handle.write("{")
+        first_key = True
+        for key in sorted({*head, "mappings"}):
+            handle.write("\n" if first_key else ",\n")
+            first_key = False
+            handle.write(f"  {json.dumps(key, ensure_ascii=False)}: ")
+            if key != "mappings":
+                handle.write(_json_fragment(head[key], 2))
+                continue
+            handle.write("[")
+            first_row = True
+            for m in _iter_mappings(merged):
+                handle.write("\n    " if first_row else ",\n    ")
+                first_row = False
+                handle.write(_json_fragment(m, 4))
+                if collected is not None:
+                    collected.append(m)
+            handle.write("]" if first_row else "\n  ]")
+        handle.write("\n}\n")
+    if collected is None:
+        return None
+    return {**head, "mappings": collected}
 
 
 #: Prefixes the OWL serializer itself introduces (annotation properties and
@@ -194,42 +230,53 @@ def merge_to_owl(
     prefix_map: dict[str, str],
     alias_map: dict[str, str] | None = None,
     ontology_iri: str = "https://example.org/mappings.sssom.owl",
-) -> str:
+    return_document: bool = True,
+) -> str | None:
     """S6 OWL merge sink (reference export/merge.py:118-121 delegates to
     sssom-py ``write_owl``). Emitted here as deterministic OWL 2
     functional-style syntax: one ``AnnotationAssertion`` per mapping with
     the SSSOM slots reified as axiom annotations — the same semantic
     content sssom-py serializes, in a stable, diffable rendering.
 
-    Returns the document text (also written to ``path``).
+    Axioms are written INCREMENTALLY, one mapping crossing the driver at
+    a time (see :func:`_iter_mappings`). Returns the document text
+    (``return_document=True``, default) or ``None`` when the caller opts
+    out of driver-side accumulation at SeMRA scale.
     """
     merged, sub_map = _merged_with_submap(frames, prefix_map, alias_map)
     declared = {**_OWL_SERIALIZER_PREFIXES, **sub_map}
-    lines = [
-        f"Prefix({p}:=<{u}>)" for p, u in sorted(declared.items())
-    ]
-    lines.append(f"Ontology(<{ontology_iri}>")
-    for m in _collect_mappings(merged):
-        annotations = []
-        for slot, pred in _OWL_SLOT_PREDICATES.items():
-            v = m.get(slot)
-            if v is None:
-                continue
-            if isinstance(v, list):
-                for item in v:
-                    annotations.append(f'Annotation({pred} "{_owl_literal(item)}")')
-            elif isinstance(v, float):
-                annotations.append(f'Annotation({pred} "{v!r}"^^xsd:double)')
-            else:
-                annotations.append(f'Annotation({pred} "{_owl_literal(v)}")')
-        ann = (" ".join(annotations) + " ") if annotations else ""
-        lines.append(
-            f"AnnotationAssertion({ann}{m['predicate_id']} "
-            f"{m['subject_id']} {m['object_id']})"
-        )
-    lines.append(")")
-    text = "\n".join(lines) + "\n"
+
+    def lines():
+        for p, u in sorted(declared.items()):
+            yield f"Prefix({p}:=<{u}>)"
+        yield f"Ontology(<{ontology_iri}>"
+        for m in _iter_mappings(merged):
+            annotations = []
+            for slot, pred in _OWL_SLOT_PREDICATES.items():
+                v = m.get(slot)
+                if v is None:
+                    continue
+                if isinstance(v, list):
+                    for item in v:
+                        annotations.append(f'Annotation({pred} "{_owl_literal(item)}")')
+                elif isinstance(v, float):
+                    annotations.append(f'Annotation({pred} "{v!r}"^^xsd:double)')
+                else:
+                    annotations.append(f'Annotation({pred} "{_owl_literal(v)}")')
+            ann = (" ".join(annotations) + " ") if annotations else ""
+            yield (
+                f"AnnotationAssertion({ann}{m['predicate_id']} "
+                f"{m['subject_id']} {m['object_id']})"
+            )
+        yield ")"
+
+    kept: list[str] | None = [] if return_document else None
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w", encoding="utf-8") as handle:
-        handle.write(text)
-    return text
+        for line in lines():
+            handle.write(line + "\n")
+            if kept is not None:
+                kept.append(line)
+    if kept is None:
+        return None
+    return "\n".join(kept) + "\n"

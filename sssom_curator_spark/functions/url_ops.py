@@ -8,8 +8,11 @@ of the corpus-hygiene operators in ``operators/``. Pure column
 expressions — whole-stage codegen, ANSI-SQL replayable (the DuckDB oracle
 rebuilds the same steps), no Python anywhere.
 
-Canonical form, applied to well-formed ``scheme://host[:port]/path?query``
-inputs (fragments allowed):
+Canonical form, applied to ``scheme://host[:port]/path?query`` inputs
+(fragments allowed). Raw crawl URL columns routinely contain malformed
+entries; anything WITHOUT a ``://`` passes through trimmed-but-unchanged
+(treating the whole string as a scheme would emit ``<input>://`` keys and
+spuriously collide distinct garbage). For the well-formed rest:
 
 1. trim; drop the ``#fragment``;
 2. lowercase the scheme and the host (path/query case is significant and
@@ -35,8 +38,8 @@ TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical URL string (see module docstring for the exact steps)."""
-    u = F.trim(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
-    u = F.substring_index(u, "#", 1)  # 1. fragment
+    raw = F.trim(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
+    u = F.substring_index(raw, "#", 1)  # 1. fragment
 
     pre_q = F.substring_index(u, "?", 1)
     query = u.substr(F.length(pre_q) + 2, F.length(u))  # '' when no '?'
@@ -70,7 +73,10 @@ def canonicalize_url(col: Column | str) -> Column:
         F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))
     ).otherwise(F.lit(""))
 
-    return F.concat(scheme, F.lit("://"), host_norm, path_norm, query_norm)
+    canonical = F.concat(scheme, F.lit("://"), host_norm, path_norm, query_norm)
+    # malformed (no '://' outside the fragment) → trimmed passthrough;
+    # still idempotent: the passthrough never introduces a '://'
+    return F.when(u.contains("://"), canonical).otherwise(raw)
 
 
 def url_dedup(

@@ -175,6 +175,31 @@ class TestMergeJsonOwl:
         assert doc["mappings"][3]["reviewer_id"] == ["orcid:0000-0003-4423-4370"]
         assert doc["mappings"][3]["reviewer_agreement"] == 0.0
 
+    def test_streaming_write_no_accumulation(self, spark, tmp_path):
+        """``return_document=False`` (the SeMRA-scale path) must write the
+        identical files without accumulating the document driver-side."""
+        import json
+
+        from sssom_curator_spark.export.merge import merge_to_json, merge_to_owl
+
+        meta = {"mapping_set_id": MAPPING_SET_ID, "license": "CC0"}
+        a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+        doc = merge_to_json(_frames(spark), a, prefix_map=PREFIX_MAP, metadata=meta)
+        none_doc = merge_to_json(
+            _frames(spark), b, prefix_map=PREFIX_MAP, metadata=meta, return_document=False
+        )
+        assert none_doc is None
+        assert open(a).read() == open(b).read()
+        with open(b) as fh:
+            assert json.load(fh) == doc
+
+        oa, ob = str(tmp_path / "a.owl"), str(tmp_path / "b.owl")
+        text = merge_to_owl(_frames(spark), oa, prefix_map=PREFIX_MAP)
+        assert merge_to_owl(
+            _frames(spark), ob, prefix_map=PREFIX_MAP, return_document=False
+        ) is None
+        assert open(ob).read() == text
+
     def test_owl_document_golden(self, spark, tmp_path):
         from sssom_curator_spark.export.merge import merge_to_owl
 
