@@ -485,8 +485,10 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-keyed dedup counts. The testdata has no
     URL column, so both sides synthesize the same crawl-variant URLs from
     ``orders`` (scheme/host case, default ports, tracking params, param
-    order, trailing slash, fragments all vary) and count collapses per
-    canonical form."""
+    order, trailing slash, fragments all vary — plus a schemeless
+    malformed variant every 7th row, which must pass through
+    trimmed-but-unchanged rather than collide as '<garbage>://' keys)
+    and count collapses per canonical form."""
     from sssom_curator_spark.functions.url_ops import canonicalize_url
 
     o = _t(spark, sf_dir, "orders")
@@ -500,8 +502,17 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?a=1&b=2&fbclid=x")
     )
     frag = F.when(k % 5 == 0, F.lit("#top")).otherwise(F.lit(""))
-    url = F.concat(
-        base, F.lit("/Item/"), (F.col("o_custkey") % 50).cast("string"), tail, frag
+    url = F.when(
+        k % 7 == 0,
+        F.concat(
+            F.lit("  www.shop.com/Item/"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit("?a=1#frag "),
+        ),
+    ).otherwise(
+        F.concat(
+            base, F.lit("/Item/"), (F.col("o_custkey") % 50).cast("string"), tail, frag
+        )
     )
     return (
         o.select(canonicalize_url(url).alias("canonical_url"))
@@ -1372,21 +1383,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_canonicalize": """
             WITH raw AS (
-              SELECT CASE o_orderkey % 3
-                       WHEN 0 THEN 'HTTP://WWW.Shop.COM:80'
-                       WHEN 1 THEN 'https://www.shop.com:443'
-                       ELSE 'https://shop.com' END
-                     || '/Item/' || CAST(o_custkey % 50 AS VARCHAR)
-                     || CASE WHEN o_orderkey % 2 = 0 THEN '/?utm_source=mail&b=2&a=1'
-                             ELSE '?a=1&b=2&fbclid=x' END
-                     || CASE WHEN o_orderkey % 5 = 0 THEN '#top' ELSE '' END AS url
+              SELECT CASE WHEN o_orderkey % 7 = 0
+                       THEN '  www.shop.com/Item/' || CAST(o_custkey % 50 AS VARCHAR)
+                            || '?a=1#frag '
+                       ELSE CASE o_orderkey % 3
+                              WHEN 0 THEN 'HTTP://WWW.Shop.COM:80'
+                              WHEN 1 THEN 'https://www.shop.com:443'
+                              ELSE 'https://shop.com' END
+                            || '/Item/' || CAST(o_custkey % 50 AS VARCHAR)
+                            || CASE WHEN o_orderkey % 2 = 0 THEN '/?utm_source=mail&b=2&a=1'
+                                    ELSE '?a=1&b=2&fbclid=x' END
+                            || CASE WHEN o_orderkey % 5 = 0 THEN '#top' ELSE '' END
+                     END AS url
               FROM orders
             ),
-            nofrag AS (SELECT string_split(trim(url), '#')[1] AS u FROM raw),
+            nofrag AS (
+              SELECT trim(url) AS raw_t, string_split(trim(url), '#')[1] AS u FROM raw
+            ),
+            mal AS (
+              SELECT raw_t AS canonical_url FROM nofrag WHERE strpos(u, '://') = 0
+            ),
             parts AS (
               SELECT CASE WHEN strpos(u, '?') > 0 THEN u[1:strpos(u,'?')-1] ELSE u END AS pre_q,
                      CASE WHEN strpos(u, '?') > 0 THEN u[strpos(u,'?')+1:] ELSE '' END AS q
-              FROM nofrag
+              FROM nofrag WHERE strpos(u, '://') > 0
             ),
             sch AS (
               SELECT lower(pre_q[1:strpos(pre_q,'://')-1]) AS scheme,
@@ -1408,16 +1428,20 @@ def oracle_sql() -> dict[str, str]:
                             AND NOT starts_with(p, 'fbclid=')
                             AND NOT starts_with(p, 'gclid='))) AS keep
               FROM hostpath
+            ),
+            canon AS (
+              SELECT scheme || '://' ||
+                     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                               OR (scheme = 'https' AND port = '443')
+                          THEN host ELSE host || ':' || port END ||
+                     regexp_replace(path, '/+$', '') ||
+                     CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END
+                       AS canonical_url
+              FROM hp
+              UNION ALL
+              SELECT canonical_url FROM mal
             )
-            SELECT scheme || '://' ||
-                   CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                             OR (scheme = 'https' AND port = '443')
-                        THEN host ELSE host || ':' || port END ||
-                   regexp_replace(path, '/+$', '') ||
-                   CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END
-                     AS canonical_url,
-                   count(*) AS n
-            FROM hp GROUP BY 1
+            SELECT canonical_url, count(*) AS n FROM canon GROUP BY 1
         """,
         "repetition_stats": """
             WITH base AS (

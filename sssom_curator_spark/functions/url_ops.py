@@ -79,6 +79,20 @@ def canonicalize_url(col: Column | str) -> Column:
     return F.when(u.contains("://"), canonical).otherwise(raw)
 
 
+def _contains_map(dt) -> bool:
+    """True when ``dt`` has a MapType anywhere inside — Spark's hash and
+    ordering/comparison expressions both reject maps at analysis time."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def url_dedup(
     pages: DataFrame, *, url_col: str = "url", id_col: str | None = None
 ) -> DataFrame:
@@ -87,21 +101,53 @@ def url_dedup(
     The winner is the minimum ``id_col`` (default: the raw URL string, so
     re-crawled case/tracking variants collapse to the lexicographically
     first raw form); ties on ``id_col`` — the same raw URL re-crawled —
-    break on a content hash of the full row, so the winner is
-    deterministic whenever the tied rows differ anywhere, and exactly one
-    of a set of fully-identical rows survives. One shuffle on the
-    canonical key (the window), same posture as
-    :func:`sssom_curator_spark.operators.dedup.exact_dedup`.
-    """
-    from pyspark.sql import Window
+    break on the remaining row content, so the winner is deterministic
+    whenever the tied rows differ anywhere comparable, and exactly one of
+    a set of fully-identical rows survives.
 
+    Scale shape: ONE shuffle on the canonical key as a two-phase
+    ``groupBy(min(struct(key, row)))`` aggregation — the minimum combines
+    MAP-SIDE, so each upstream partition ships at most one candidate row
+    per canonical URL and a pathologically re-crawled URL (the same page
+    captured millions of times) costs its reducer O(partitions), not
+    O(duplicates). The previous ``row_number`` window form concentrated
+    every duplicate of a hot URL on one reducer.
+
+    Frames with map-typed columns (anywhere nested) take a fallback path
+    — Spark cannot hash or order maps — that selects winner keys by the
+    same two-phase minimum over the NON-map columns and resolves them
+    with a semi-join: still skew-safe, but among rows differing ONLY in
+    map columns the survivor is an arbitrary (not content-deterministic)
+    one.
+    """
     key = id_col or url_col
     tagged = pages.withColumn("_curl", canonicalize_url(url_col))
-    w = Window.partitionBy("_curl").orderBy(
-        F.col(key).asc(), F.xxhash64(F.struct(*pages.columns)).asc()
+    no_maps = [f.name for f in pages.schema.fields if not _contains_map(f.dataType)]
+    if len(no_maps) == len(pages.columns):
+        # struct minima compare field-by-field: key first, then the full
+        # row — fully deterministic, and identical rows collapse to one
+        winner = tagged.groupBy("_curl").agg(
+            F.min(
+                F.struct(F.col(key).alias("_k"), F.struct(*pages.columns).alias("_r"))
+            ).alias("_w")
+        )
+        return winner.select("_w._r.*")
+    winners = tagged.groupBy("_curl").agg(
+        F.min(
+            F.struct(
+                F.col(key).alias("_k"),
+                F.xxhash64(F.struct(*no_maps)).alias("_h"),
+            )
+        ).alias("_w")
     )
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_curl", "_rn")
+    resolved = tagged.join(
+        winners,
+        on=[
+            tagged["_curl"] == winners["_curl"],
+            F.col(key) == F.col("_w._k"),
+            F.xxhash64(F.struct(*[tagged[c] for c in no_maps])) == F.col("_w._h"),
+        ],
+        how="left_semi",
     )
+    # rows surviving the semi-join tie on every comparable column; keep one
+    return resolved.dropDuplicates(["_curl"]).drop("_curl")

@@ -246,3 +246,26 @@ class TestUrlDedupTies:
         assert by_url[1] == ("http://a.com/y", "crawl4")
         again = sorted((r["url"], r["crawl"]) for r in url_dedup(df.repartition(7)).collect())
         assert again == by_url  # partition-invariant winner
+
+    def test_map_columns_take_fallback_path(self, spark):
+        """Spark hash/ordering expressions reject MapType; a frame with a
+        map column must still dedup (winner keys over non-map columns,
+        semi-join resolution — ADVICE r04)."""
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.url_ops import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                ("HTTP://A.com:80/x?utm_source=1", "c3"),
+                ("http://a.com/x", "c1"),
+                ("http://a.com/y", "c4"),
+            ],
+            "url string, crawl string",
+        ).withColumn("headers", F.create_map(F.lit("k"), F.col("crawl")))
+        kept = sorted((r["url"], r["crawl"]) for r in url_dedup(df).collect())
+        assert kept == [("HTTP://A.com:80/x?utm_source=1", "c3"), ("http://a.com/y", "c4")]
+        again = sorted(
+            (r["url"], r["crawl"]) for r in url_dedup(df.repartition(5)).collect()
+        )
+        assert again == kept

@@ -94,6 +94,47 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestAggregationShapes:
+    def test_paragraph_dedup_distinct_expands_on_hash_and_doc(self, spark):
+        """`countDistinct(_pid)` in drop_repeated_paragraphs must plan as
+        Spark's two-shuffle distinct rewrite with the FIRST exchange keyed
+        on (paragraph-hash, doc): a boilerplate paragraph appearing in 50%
+        of documents then spreads across reducers by doc id instead of
+        hot-keying one reducer (VERDICT r04 task #8). A single-shuffle
+        plan keyed on the hash alone would be invisible at sf0.001 and
+        fatal at corpus scale."""
+        import re
+
+        from sssom_curator_spark.operators.dedup import drop_repeated_paragraphs
+
+        docs = _table(spark, "documents")
+        plan = _plan(drop_repeated_paragraphs(docs))
+        # partial distinct-dedup exchange keyed on BOTH the md5 grouping
+        # expression and the exploded doc id
+        assert re.search(
+            r"Exchange hashpartitioning\(_groupingexpression#\d+, _pid#\d+L?,", plan
+        ), plan
+        # ...followed by the final count-distinct merge keyed on the hash only
+        assert re.search(r"partial_count\(distinct _pid", plan), plan
+
+    def test_url_dedup_winner_min_combines_map_side(self, spark):
+        """url_dedup's winner selection must be a two-phase aggregate
+        (partial_min before the exchange) and NOT a row_number window —
+        a window shuffles every duplicate of a hot URL to one reducer;
+        the partial min ships one candidate row per (partition, url)
+        (VERDICT r04 task #7)."""
+        import pandas as pd
+
+        from sssom_curator_spark.functions.url_ops import url_dedup
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": ["http://a.com/x", "http://a.com/y"], "c": ["1", "2"]})
+        )
+        plan = _plan(url_dedup(df))
+        assert "partial_min" in plan, plan
+        assert "Window" not in plan, plan
+
+
 class TestCodegenCoverage:
     def test_textstats_stay_in_wholestage_codegen(self, spark):
         from sssom_curator_spark.operators.textstats import (
