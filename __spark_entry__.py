@@ -521,6 +521,68 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup DECISION: MinHash pairs → connected-component
+    duplicate clusters → keep the min-id document per cluster, drop the
+    rest. Pins the full detect→cluster→apply chain (chained near-dups
+    a~b~c must lose b AND c, which pairwise doc_b-dropping gets wrong)."""
+    from sssom_curator_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dedup_apply,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", jaccard_threshold=0.5
+    )
+    return near_dedup_apply(docs, pairs).select("doc_id", "n_chars")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: registered-domain extraction + blocklist
+    anti-join + per-domain page/distinct-canonical-URL counts. URLs are
+    synthesized from ``orders`` (7 sites behind a www subdomain, tracking
+    variants collapsing per canonical URL, a malformed schemeless row
+    every 11th grouping under the '(none)' domain)."""
+    import pandas as pd
+
+    from sssom_curator_spark.functions.url_ops import (
+        domain_stats,
+        filter_blocklisted_domains,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.when(k % 11 == 0, F.lit("  site-relative/path?x=1 ")).otherwise(
+        F.concat(
+            F.lit("https://www.site"),
+            (F.col("o_custkey") % 7).cast("string"),
+            F.lit(".com/p/"),
+            (k % 40).cast("string"),
+            F.when(k % 2 == 0, F.lit("?utm_source=x&q=1")).otherwise(F.lit("?q=1")),
+        )
+    )
+    pages = o.select(url.alias("url"))
+    blocklist = spark.createDataFrame(
+        pd.DataFrame({"domain": ["site0.com", "site3.com"]})
+    )
+    kept = filter_blocklisted_domains(pages, blocklist)
+    out = domain_stats(kept, url_col="url")
+    return out.select(
+        F.coalesce("domain", F.lit("(none)")).alias("domain"), "n_pages", "n_urls"
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted-md5 id bucket —
+    stable across re-runs, partitionings and engines (df.sample() is
+    neither); per-document rows pin every assignment, not just counts."""
+    from sssom_curator_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(docs, id_col="doc_id").select("doc_id", "split")
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1058,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "paragraph_dedup": q_paragraph_dedup,
         "url_canonicalize": q_url_canonicalize,
+        "near_dedup_apply": q_near_dedup_apply,
+        "domain_stats": q_domain_stats,
+        "hash_split": q_hash_split,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1117,7 +1182,62 @@ SELECT u AS node, min(v) AS component FROM reach GROUP BY u
 """
 
 
+#: URL canonicalization CTE chain (assumes a preceding ``raw(url)`` CTE):
+#: replays functions/url_ops.canonicalize_url step-for-step — fragment
+#: strip, malformed (no '://') trimmed passthrough via the ``mal`` branch,
+#: scheme/host lowercasing, default-port drop, tracking-param filter +
+#: bytewise sort, trailing-slash strip — ending in ``canon(canonical_url)``
+#: with one row per input row.
+_URL_CANON_CTES = """
+            nofrag AS (
+              SELECT trim(url) AS raw_t, string_split(trim(url), '#')[1] AS u FROM raw
+            ),
+            mal AS (
+              SELECT raw_t AS canonical_url FROM nofrag WHERE strpos(u, '://') = 0
+            ),
+            parts AS (
+              SELECT CASE WHEN strpos(u, '?') > 0 THEN u[1:strpos(u,'?')-1] ELSE u END AS pre_q,
+                     CASE WHEN strpos(u, '?') > 0 THEN u[strpos(u,'?')+1:] ELSE '' END AS q
+              FROM nofrag WHERE strpos(u, '://') > 0
+            ),
+            sch AS (
+              SELECT lower(pre_q[1:strpos(pre_q,'://')-1]) AS scheme,
+                     pre_q[strpos(pre_q,'://')+3:] AS rest, q
+              FROM parts
+            ),
+            hostpath AS (
+              SELECT scheme, q,
+                     CASE WHEN strpos(rest,'/') > 0 THEN rest[1:strpos(rest,'/')-1] ELSE rest END AS hostport,
+                     CASE WHEN strpos(rest,'/') > 0 THEN rest[strpos(rest,'/'):] ELSE '' END AS path
+              FROM sch
+            ),
+            hp AS (
+              SELECT scheme, path,
+                     lower(CASE WHEN strpos(hostport,':') > 0 THEN hostport[1:strpos(hostport,':')-1] ELSE hostport END) AS host,
+                     CASE WHEN strpos(hostport,':') > 0 THEN hostport[strpos(hostport,':')+1:] ELSE '' END AS port,
+                     list_sort(list_filter(string_split(q, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')
+                            AND NOT starts_with(p, 'fbclid=')
+                            AND NOT starts_with(p, 'gclid='))) AS keep
+              FROM hostpath
+            ),
+            canon AS (
+              SELECT scheme || '://' ||
+                     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                               OR (scheme = 'https' AND port = '443')
+                          THEN host ELSE host || ':' || port END ||
+                     regexp_replace(path, '/+$', '') ||
+                     CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END
+                       AS canonical_url
+              FROM hp
+              UNION ALL
+              SELECT canonical_url FROM mal
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from sssom_curator_spark.operators.sampling import hex_threshold as _ht
+
     mh_mins = ",\n    ".join(
         f"min(substr(md5('{i // 4}' || '|' || shingle), {1 + 8 * (i % 4)}, 8)) AS mh_{i}"
         for i in range(16)
@@ -1125,6 +1245,37 @@ def oracle_sql() -> dict[str, str]:
     band_keys = " ".join(
         f"WHEN {b} THEN md5(mh_{2 * b} || '|' || mh_{2 * b + 1})" for b in range(8)
     )
+    # shared MinHash-LSH CTE chain (shingle → signature → band → candidate
+    # → verified pair): minhash_lsh selects from it directly;
+    # near_dedup_apply extends it with a recursive connected-components
+    # pass and the corpus anti-join.
+    _mh_pair_ctes = f"""{_SHINGLES_CTE},
+            sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, b.band,
+                     CASE b.band {band_keys} END AS key
+              FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b
+            ),
+            mh_pairs AS (
+              SELECT c.doc_a, c.doc_b,
+                     round(coalesce(i.inter, 0) * 1.0 / (sa.n + sb.n - coalesce(i.inter, 0)) + 0.000000001, 6) AS jaccard
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              JOIN sizes sa ON sa.doc_id = c.doc_a
+              JOIN sizes sb ON sb.doc_id = c.doc_b
+            )"""
     stop_list = "[" + ", ".join(f"'{w}'" for w in _EN_STOP) + "]"
     de = "['der','die','das','und','ist','nicht','mit','ein','zu','den']"
     es = "['el','la','de','que','y','en','un','es','los','por']"
@@ -1232,32 +1383,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         """,
         "minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, b.band,
-                     CASE b.band {band_keys} END AS key
-              FROM sig, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS b(band)
+            WITH {_mh_pair_ctes}
+            SELECT doc_a, doc_b, jaccard FROM mh_pairs WHERE jaccard >= 0.5
+        """,
+        "near_dedup_apply": f"""
+            WITH RECURSIVE {_mh_pair_ctes},
+            p2 AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.5),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM p2
+                    UNION SELECT doc_b, doc_a FROM p2),
+            nodes AS (SELECT DISTINCT u FROM sym),
+            reach(u, v) AS (
+              SELECT u, u FROM nodes
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
             ),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-              FROM banded l JOIN banded r
-                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-            ),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS inter
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY c.doc_a, c.doc_b
-            )
-            SELECT c.doc_a, c.doc_b,
-                   round(coalesce(i.inter, 0) * 1.0 / (sa.n + sb.n - coalesce(i.inter, 0)) + 0.000000001, 6) AS jaccard
-            FROM cand c
-            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-            JOIN sizes sa ON sa.doc_id = c.doc_a
-            JOIN sizes sb ON sb.doc_id = c.doc_b
-            WHERE round(coalesce(i.inter, 0) * 1.0 / (sa.n + sb.n - coalesce(i.inter, 0)) + 0.000000001, 6) >= 0.5
+            comp AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u),
+            losers AS (SELECT node FROM comp WHERE node <> component)
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
@@ -1381,7 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d2.doc_id, coalesce(agg.text, '') AS text
             FROM d2 LEFT JOIN agg USING (doc_id)
         """,
-        "url_canonicalize": """
+        "url_canonicalize": f"""
             WITH raw AS (
               SELECT CASE WHEN o_orderkey % 7 = 0
                        THEN '  www.shop.com/Item/' || CAST(o_custkey % 50 AS VARCHAR)
@@ -1396,52 +1539,49 @@ def oracle_sql() -> dict[str, str]:
                             || CASE WHEN o_orderkey % 5 = 0 THEN '#top' ELSE '' END
                      END AS url
               FROM orders
-            ),
-            nofrag AS (
-              SELECT trim(url) AS raw_t, string_split(trim(url), '#')[1] AS u FROM raw
-            ),
-            mal AS (
-              SELECT raw_t AS canonical_url FROM nofrag WHERE strpos(u, '://') = 0
-            ),
-            parts AS (
-              SELECT CASE WHEN strpos(u, '?') > 0 THEN u[1:strpos(u,'?')-1] ELSE u END AS pre_q,
-                     CASE WHEN strpos(u, '?') > 0 THEN u[strpos(u,'?')+1:] ELSE '' END AS q
-              FROM nofrag WHERE strpos(u, '://') > 0
-            ),
-            sch AS (
-              SELECT lower(pre_q[1:strpos(pre_q,'://')-1]) AS scheme,
-                     pre_q[strpos(pre_q,'://')+3:] AS rest, q
-              FROM parts
-            ),
-            hostpath AS (
-              SELECT scheme, q,
-                     CASE WHEN strpos(rest,'/') > 0 THEN rest[1:strpos(rest,'/')-1] ELSE rest END AS hostport,
-                     CASE WHEN strpos(rest,'/') > 0 THEN rest[strpos(rest,'/'):] ELSE '' END AS path
-              FROM sch
-            ),
-            hp AS (
-              SELECT scheme, path,
-                     lower(CASE WHEN strpos(hostport,':') > 0 THEN hostport[1:strpos(hostport,':')-1] ELSE hostport END) AS host,
-                     CASE WHEN strpos(hostport,':') > 0 THEN hostport[strpos(hostport,':')+1:] ELSE '' END AS port,
-                     list_sort(list_filter(string_split(q, '&'),
-                       p -> p <> '' AND NOT starts_with(p, 'utm_')
-                            AND NOT starts_with(p, 'fbclid=')
-                            AND NOT starts_with(p, 'gclid='))) AS keep
-              FROM hostpath
-            ),
-            canon AS (
-              SELECT scheme || '://' ||
-                     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                               OR (scheme = 'https' AND port = '443')
-                          THEN host ELSE host || ':' || port END ||
-                     regexp_replace(path, '/+$', '') ||
-                     CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END
-                       AS canonical_url
-              FROM hp
-              UNION ALL
-              SELECT canonical_url FROM mal
-            )
+            ),{_URL_CANON_CTES}
             SELECT canonical_url, count(*) AS n FROM canon GROUP BY 1
+        """,
+        "domain_stats": f"""
+            WITH raw AS (
+              SELECT CASE WHEN o_orderkey % 11 = 0 THEN '  site-relative/path?x=1 '
+                       ELSE 'https://www.site' || CAST(o_custkey % 7 AS VARCHAR)
+                            || '.com/p/' || CAST(o_orderkey % 40 AS VARCHAR)
+                            || CASE WHEN o_orderkey % 2 = 0 THEN '?utm_source=x&q=1'
+                                    ELSE '?q=1' END
+                     END AS url
+              FROM orders
+            ),{_URL_CANON_CTES},
+            dom AS (
+              SELECT canonical_url,
+                     CASE WHEN strpos(canonical_url, '://') > 0 THEN
+                       lower(string_split(string_split(string_split(
+                         canonical_url[strpos(canonical_url,'://')+3:], '/')[1], '?')[1], ':')[1])
+                     END AS host
+              FROM canon
+            ),
+            dom2 AS (
+              SELECT canonical_url,
+                     CASE WHEN host IS NULL THEN NULL
+                          WHEN len(string_split(host, '.')) >= 2
+                          THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                          ELSE host END AS domain
+              FROM dom
+            ),
+            kept AS (
+              SELECT * FROM dom2
+              WHERE domain IS NULL OR domain NOT IN ('site0.com', 'site3.com')
+            )
+            SELECT coalesce(domain, '(none)') AS domain, count(*) AS n_pages,
+                   count(DISTINCT canonical_url) AS n_urls
+            FROM kept GROUP BY 1
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_ht(0.9)}' THEN 'train'
+                        WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_ht(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "repetition_stats": """
             WITH base AS (

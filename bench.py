@@ -90,6 +90,9 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "decontaminate",
         "paragraph_dedup",
         "url_canonicalize",
+        "near_dedup_apply",
+        "domain_stats",
+        "hash_split",
         "mention_candidates",
     ):
         runs = [

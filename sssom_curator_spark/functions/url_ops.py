@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "url_dedup"]
+__all__ = [
+    "canonicalize_url",
+    "url_dedup",
+    "url_host",
+    "registered_domain",
+    "domain_stats",
+    "filter_blocklisted_domains",
+]
 
 #: query parameters that never affect content identity
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
@@ -151,3 +158,89 @@ def url_dedup(
     )
     # rows surviving the semi-join tie on every comparable column; keep one
     return resolved.dropDuplicates(["_curl"]).drop("_curl")
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL (port dropped), NULL for malformed inputs
+    (no ``://``). Pure column expression; composes with
+    :func:`canonicalize_url` output or raw crawl URLs alike."""
+    u = F.trim(F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit("")))
+    u = F.substring_index(u, "#", 1)
+    pre_q = F.substring_index(u, "?", 1)
+    scheme = F.substring_index(pre_q, "://", 1)
+    rest = pre_q.substr(F.length(scheme) + 4, F.length(pre_q))
+    hostport = F.substring_index(rest, "/", 1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    return F.when(u.contains("://") & (host != ""), host)
+
+
+def registered_domain(col: Column | str) -> Column:
+    """Registered domain of a URL: the last two dot-labels of the host
+    (``www.shop.com`` → ``shop.com``), NULL for malformed inputs.
+
+    This is the two-label HEURISTIC: correct for generic TLDs, one label
+    short for public-suffix country registrations (``example.co.uk`` →
+    ``co.uk``). A production pipeline swaps in a broadcast public-suffix
+    table (the ``publicsuffix2`` dataset, not in this container); the
+    grouping/joining shape downstream is identical.
+    """
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    ).otherwise(host)
+
+
+def domain_stats(
+    pages: DataFrame, *, url_col: str = "url", text_col: str | None = None
+) -> DataFrame:
+    """Per-registered-domain corpus statistics — the aggregation behind
+    domain-level curation decisions (crawl pipelines score and blocklist
+    whole domains, not pages): page count, distinct canonical URLs, and
+    (when ``text_col`` is given) mean text length.
+
+    Malformed URLs group under a NULL domain so they stay visible in the
+    report instead of vanishing.
+
+    Scale shape: one ``groupBy(domain)`` with ``countDistinct`` on the
+    canonical URL — Spark plans the distinct as the two-shuffle expand
+    whose first exchange keys on (domain, canonical-url), so a
+    million-page domain spreads across reducers during dedup-counting and
+    only its final per-domain merge row converges (the same hot-key-safe
+    shape plan-asserted for paragraph dedup in ``tests/test_plans.py``).
+    """
+    # domain is derived from the CANONICAL url (host-preserving), not the
+    # raw one: the canonical string is computed once per row anyway for
+    # n_urls, and re-parsing it is cheaper than running the full
+    # canonicalization expression chain a second time for the host.
+    tagged = pages.select(
+        canonicalize_url(url_col).alias("_curl"),
+        *([F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len")] if text_col else []),
+    ).withColumn("domain", registered_domain("_curl"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_curl").alias("n_urls"),
+    ]
+    if text_col:
+        aggs.append(F.round(F.avg("_len"), 6).alias("avg_chars"))
+    return tagged.groupBy("domain").agg(*aggs)
+
+
+def filter_blocklisted_domains(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every page whose registered domain appears in ``blocklist``
+    (a one-column frame of domains). One ``left_anti`` equi-join; the
+    blocklist is a dimension (thousands to millions of rows, bounded by
+    the domain population, not the corpus) — AQE broadcasts it, so the
+    corpus is filtered map-side without a shuffle."""
+    return pages.join(
+        blocklist.select(F.col(domain_col).alias("_bdom")),
+        on=registered_domain(url_col) == F.col("_bdom"),
+        how="left_anti",
+    )

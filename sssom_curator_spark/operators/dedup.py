@@ -42,6 +42,7 @@ __all__ = [
     "minhash_signature",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "near_dedup_apply",
     "drop_repeated_paragraphs",
     "simhash",
     "simhash_near_duplicates",
@@ -354,6 +355,59 @@ def ngram_jaccard_pairs(
     if persist_shingles is not None:
         sh.unpersist()
     return out
+
+
+def near_dedup_apply(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Apply near-duplicate PAIR evidence to the corpus: cluster the pairs
+    into duplicate groups with connected components, keep the minimum-id
+    document of every group, drop the rest. The end-to-end decision step
+    a real pipeline runs after :func:`minhash_near_duplicates` /
+    :func:`simhash_near_duplicates` — pair detection alone doesn't dedup
+    anything, and naive "drop doc_b of every pair" over-deletes when
+    near-duplicity chains (a~b, b~c but the pair (a,c) was never emitted:
+    pairwise dropping keeps only a; clustering keeps a and correctly
+    drops b, c which each have an in-cluster witness).
+
+    Winner = the minimum id per cluster. Integral ids are zero-padded to
+    fixed width before labeling (component representatives compare
+    lexicographically; ``"10" < "9"`` otherwise) and assume non-negative
+    ids; string ids compare lexicographically as-is.
+
+    Scale shape: the pair frame is bounded by the corpus's near-dup RATE,
+    not its size — connected components runs over pairs only (driver
+    union-find under the small-graph threshold, large-star/small-star
+    above it); the loser set is smaller still, and the final corpus
+    filter is one ``left_anti`` equi-join that AQE broadcasts when the
+    loser side fits. The corpus itself is never shuffled.
+    """
+    from pyspark.sql import types as T
+
+    from sssom_curator_spark.graph.components import connected_components
+
+    a, b = pair_cols
+    integral = isinstance(
+        pairs.schema[a].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+
+    def _enc(c):
+        s = F.col(c).cast("string")
+        return F.lpad(s, 20, "0") if integral else s
+
+    edges = pairs.select(_enc(a).alias("src"), _enc(b).alias("dst"))
+    comp = connected_components(edges, "src", "dst")
+    losers = comp.filter(F.col("node") != F.col("component")).select("node")
+    key = (
+        F.lpad(F.col(id_col).cast("string"), 20, "0")
+        if integral
+        else F.col(id_col).cast("string")
+    )
+    return df.join(losers, on=key == losers["node"], how="left_anti")
 
 
 _SIMHASH_BITS = 64

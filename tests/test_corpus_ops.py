@@ -269,3 +269,63 @@ class TestUrlDedupTies:
             (r["url"], r["crawl"]) for r in url_dedup(df.repartition(5)).collect()
         )
         assert again == kept
+
+
+class TestDomainOps:
+    def test_host_and_registered_domain(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.url_ops import registered_domain, url_host
+
+        cases = [
+            ("https://WWW.Shop.COM:8080/x?q=1#f", "www.shop.com", "shop.com"),
+            ("http://localhost/x", "localhost", "localhost"),
+            ("https://a.b.c.example.org", "a.b.c.example.org", "example.org"),
+            ("no-scheme/path", None, None),
+            ("", None, None),
+        ]
+        df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+        got = df.select(
+            url_host("url").alias("h"), registered_domain("url").alias("d")
+        ).collect()
+        for (u, h, d), r in zip(cases, got):
+            assert r["h"] == h, (u, r["h"])
+            assert r["d"] == d, (u, r["d"])
+
+    def test_domain_stats_and_blocklist(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.functions.url_ops import (
+            domain_stats,
+            filter_blocklisted_domains,
+        )
+
+        pages = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://www.a.com/x?utm_source=1",
+                        "https://a.com/x",  # different host, same DOMAIN a.com
+                        "https://www.a.com/x",  # same canonical as row 0
+                        "https://b.com/y",
+                        "bad url",
+                    ],
+                    "text": ["aaaa", "bb", "cc", "dd", "e"],
+                }
+            )
+        )
+        stats = {
+            r["domain"]: (r["n_pages"], r["n_urls"], r["avg_chars"])
+            for r in domain_stats(pages, url_col="url", text_col="text").collect()
+        }
+        # rows 0+2 share a canonical URL; avg chars = (4+2+2)/3
+        assert stats["a.com"] == (3, 2, round(8 / 3, 6))
+        assert stats["b.com"] == (1, 1, 2.0)
+        assert stats[None][0] == 1  # malformed stays visible under NULL
+
+        blocked = spark.createDataFrame(pd.DataFrame({"domain": ["a.com"]}))
+        kept = sorted(
+            r["url"] for r in filter_blocklisted_domains(pages, blocked).collect()
+        )
+        # NULL-domain (malformed) rows survive the anti-join
+        assert kept == ["bad url", "https://b.com/y"]

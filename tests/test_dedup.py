@@ -261,3 +261,56 @@ class TestParagraphDedup:
         rows = {r["doc_id"]: r for r in drop_repeated_paragraphs(docs).collect()}
         assert rows["a"]["extra"] == 7 and rows["a"]["text"] == "own a"
         assert list(rows["a"].asDict()) == ["doc_id", "text", "extra"]
+
+
+class TestNearDedupApply:
+    def test_chained_pairs_cluster_before_dropping(self, spark):
+        """a~b and b~c (pair a~c never emitted) must drop b AND c, keeping
+        one winner per CLUSTER — pairwise doc_b-dropping would get this
+        right only by luck, and pairwise doc_a-keeping would keep b."""
+        import pandas as pd
+
+        from sssom_curator_spark.operators.dedup import near_dedup_apply
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 9, 10, 50], "text": list("abcdef")})
+        )
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 9], "doc_b": [2, 3, 10]})
+        )
+        kept = sorted(r["doc_id"] for r in near_dedup_apply(docs, pairs).collect())
+        # cluster {1,2,3} -> keep 1; cluster {9,10} -> keep 9 (numeric min:
+        # the zero-pad must prevent the lexicographic '10' < '9' trap);
+        # 50 untouched
+        assert kept == [1, 9, 50]
+
+    def test_partition_invariant(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.dedup import near_dedup_apply
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(20)), "text": ["t"] * 20})
+        )
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [0, 5, 11], "doc_b": [11, 6, 5]})
+        )
+        a = sorted(r["doc_id"] for r in near_dedup_apply(docs, pairs).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in near_dedup_apply(docs.repartition(7), pairs.repartition(3)).collect()
+        )
+        # cluster {0,11,5,6} -> keep 0
+        assert a == b == [0] + list(range(1, 5)) + list(range(7, 11)) + list(range(12, 20))
+
+    def test_string_ids_compare_lexicographically(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.dedup import near_dedup_apply
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["x", "y", "z"], "text": ["a", "b", "c"]})
+        )
+        pairs = spark.createDataFrame(pd.DataFrame({"doc_a": ["y"], "doc_b": ["z"]}))
+        kept = sorted(r["doc_id"] for r in near_dedup_apply(docs, pairs).collect())
+        assert kept == ["x", "y"]
