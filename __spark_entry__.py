@@ -583,6 +583,33 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs, id_col="doc_id").select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-language deterministic keep fractions (80% en,
+    30% de, 5% everything else) over salted-md5 id buckets — no RNG, no
+    partition dependence; every kept doc_id is pinned."""
+    from sssom_curator_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        {"en": 0.8, "de": 0.3},
+        strata_col="lang",
+        id_col="doc_id",
+        default_fraction=0.05,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing offsets (n_chars as the token
+    proxy, 4096-unit sequences, 16 salted buckets): per-document bucket,
+    first-token sequence id and offset — deterministic layout, pinned
+    per document."""
+    from sssom_curator_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, id_col="doc_id", tokens_col="n_chars", budget=4096)
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1123,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_apply": q_near_dedup_apply,
         "domain_stats": q_domain_stats,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1582,6 +1611,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_ht(0.95)}' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('strata|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '{_ht(0.8)}'
+                       WHEN lang = 'de' THEN '{_ht(0.3)}'
+                       ELSE '{_ht(0.05)}' END
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, bucket,
+                     CAST(coalesce(SUM(n_chars) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+              FROM t
+            )
+            SELECT doc_id, bucket,
+                   bucket || '-' || CAST(CAST(floor(cum / 4096.0) AS BIGINT) AS VARCHAR) AS seq_id,
+                   cum % 4096 AS offset
+            FROM c
         """,
         "repetition_stats": """
             WITH base AS (

@@ -93,6 +93,8 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "near_dedup_apply",
         "domain_stats",
         "hash_split",
+        "stratified_sample",
+        "pack_sequences",
         "mention_candidates",
     ):
         runs = [

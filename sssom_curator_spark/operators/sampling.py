@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hex_threshold", "unit_hex", "split_assign", "deterministic_sample"]
+__all__ = [
+    "hex_threshold",
+    "unit_hex",
+    "split_assign",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_sequences",
+]
 
 
 def hex_threshold(fraction: float) -> str:
@@ -82,3 +89,85 @@ def deterministic_sample(
     map-side filter — at 100 TB this prunes before any downstream
     shuffle, and a resumed job selects the identical subset."""
     return df.filter(unit_hex(id_col, salt=salt) < F.lit(hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (keep 100% of books, 30% of web, 5% of a boilerplate-heavy crawl).
+    ``fractions`` maps stratum value → keep fraction; strata absent from
+    the map (including NULL) keep ``default_fraction``. Same salted-key
+    mechanism as :func:`deterministic_sample`, so per-stratum samples are
+    nested under fraction changes and stable across re-runs. Pure
+    map-side filter; unlike ``df.sampleBy`` there is no RNG and no
+    partition dependence.
+    """
+    key = unit_hex(id_col, salt=salt)
+    thr = F.lit(hex_threshold(default_fraction))
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        lit = F.lit(hex_threshold(frac))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(key < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket_hex_chars: int = 1,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing offsets (GPT-style pretraining:
+    documents are concatenated in a deterministic order and the token
+    stream is sliced into fixed-``budget`` training sequences; documents
+    straddle sequence boundaries). Emits, per document: its ``bucket``,
+    the ``seq_id`` its first token lands in (bucket-qualified), and its
+    ``offset`` within that sequence — everything a writer needs to
+    materialize packed sequences without a second pass.
+
+    Determinism + scale: a GLOBAL concatenation order is a single-reducer
+    sort — the scale anti-pattern. Documents are instead salted into
+    ``16**bucket_hex_chars`` independent buckets (one md5 prefix — the
+    same portable key family as :func:`split_assign`) and concatenated
+    per bucket in ``id_col`` order, so packing parallelizes across
+    buckets, every bucket's layout is a pure function of row ids, and a
+    re-run or a different partitioning yields byte-identical packing.
+    One shuffle (the per-bucket window sort); the exclusive running sum
+    is a plain window aggregate, ANSI-replayable.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        bucket_hex_chars,
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    out = df.withColumn("bucket", bucket).select(
+        F.col(id_col),
+        "bucket",
+        F.concat_ws(
+            "-", F.col("bucket"), F.floor(cum / budget).cast("string")
+        ).alias("seq_id"),
+        (cum % budget).cast("long").alias("offset"),
+    )
+    return out

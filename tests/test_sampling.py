@@ -72,3 +72,87 @@ class TestDeterministicSample:
         assert hex_threshold(1.0) == "ffffffff"
         with pytest.raises(ValueError):
             hex_threshold(1.5)
+
+
+class TestStratifiedSample:
+    def test_per_stratum_fractions(self, spark):
+        from sssom_curator_spark.operators.sampling import stratified_sample
+
+        docs = _docs(spark, 3000).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("en"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("de"))
+            .otherwise(F.lit(None)),
+        )
+        kept = stratified_sample(
+            docs, {"en": 0.8, "de": 0.2}, strata_col="lang", id_col="doc_id"
+        )
+        counts = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert abs(counts["en"] / 1000 - 0.8) < 0.05
+        assert abs(counts["de"] / 1000 - 0.2) < 0.05
+        # unmapped strata (here: NULL lang) keep default_fraction = 0.0
+        assert None not in counts
+
+    def test_default_fraction_and_nesting(self, spark):
+        from sssom_curator_spark.operators.sampling import stratified_sample
+
+        docs = _docs(spark, 1000).withColumn("lang", F.lit("xx"))
+        few = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs, {}, strata_col="lang", id_col="doc_id", default_fraction=0.1
+            ).collect()
+        }
+        more = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs, {}, strata_col="lang", id_col="doc_id", default_fraction=0.3
+            ).collect()
+        }
+        assert few <= more and abs(len(more) / 1000 - 0.3) < 0.05
+
+
+class TestPackSequences:
+    def _packed(self, spark, n=200, budget=100):
+        from sssom_curator_spark.operators.sampling import pack_sequences
+
+        docs = _docs(spark, n).withColumn("n_tokens", F.col("doc_id") % 37 + 1)
+        return pack_sequences(docs, budget=budget)
+
+    def test_layout_is_valid_packing(self, spark):
+        out = self._packed(spark).collect()
+        # every offset is inside the budget, seq ids are bucket-qualified
+        for r in out:
+            assert 0 <= r["offset"] < 100
+            assert r["seq_id"].startswith(r["bucket"] + "-")
+        # within a bucket, offsets follow the exclusive running sum: the
+        # doc stream re-packs exactly (verified against a python replay)
+        import hashlib
+
+        by_bucket: dict = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            assert (
+                hashlib.md5(f"pack|{r['doc_id']}".encode()).hexdigest()[:1]
+                == r["bucket"]
+            )
+            cum = by_bucket.get(r["bucket"], 0)
+            assert r["seq_id"] == f"{r['bucket']}-{cum // 100}"
+            assert r["offset"] == cum % 100
+            by_bucket[r["bucket"]] = cum + (r["doc_id"] % 37 + 1)
+
+    def test_partition_invariant(self, spark):
+        from sssom_curator_spark.operators.sampling import pack_sequences
+
+        docs = _docs(spark, 500).withColumn("n_tokens", F.col("doc_id") % 19 + 1)
+        a = sorted(map(tuple, pack_sequences(docs, budget=64).collect()))
+        b = sorted(map(tuple, pack_sequences(docs.repartition(11), budget=64).collect()))
+        assert a == b
+
+    def test_rejects_nonpositive_budget(self, spark):
+        from sssom_curator_spark.operators.sampling import pack_sequences
+
+        with pytest.raises(ValueError):
+            pack_sequences(_docs(spark, 5).withColumn("n_tokens", F.lit(1)), budget=0)
