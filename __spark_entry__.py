@@ -38,6 +38,13 @@ def _dec_sum(col: str, alias: str) -> F.Column:
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"]
 
+# PII patterns shared verbatim with the DuckDB oracle (Java regex ∩ RE2).
+from sssom_curator_spark.functions.pii_ops import PII_PATTERNS as _PII_PATTERNS
+
+_PII_EMAIL = _PII_PATTERNS["email"][0]
+_PII_IPV4 = _PII_PATTERNS["ipv4"][0]
+_PII_PHONE = _PII_PATTERNS["phone"][0]
+
 
 # --------------------------------------------------------------------------
 # flagship
@@ -610,6 +617,41 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, id_col="doc_id", tokens_col="n_chars", budget=4096)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: the testdata carries no PII, so both sides inject
+    the same synthetic email / IPv4 / US-phone strings keyed off doc_id,
+    then run the shared Java∩RE2 pattern set — per-kind counts on the raw
+    text plus an md5 of the redacted text pin every replacement."""
+    from sssom_curator_spark.functions.pii_ops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit(" from 192.168."),
+                (k % 256).cast("string"),
+                F.lit(".7 call 555-"),
+                F.lpad((k % 1000).cast("string"), 3, "0"),
+                F.lit("-1234"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    counts = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        *counts.values(),
+        F.md5(redact_pii(injected).cast("binary")).alias("redacted_md5"),
+    )
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1152,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1636,6 +1679,29 @@ def oracle_sql() -> dict[str, str]:
                    bucket || '-' || CAST(CAST(floor(cum / 4096.0) AS BIGINT) AS VARCHAR) AS seq_id,
                    cum % 4096 AS offset
             FROM c
+        """,
+        "pii_redact": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          WHEN doc_id % 3 = 1
+                          THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                               || '-1234'
+                          ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+            FROM inj
         """,
         "repetition_stats": """
             WITH base AS (

@@ -95,6 +95,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "hash_split",
         "stratified_sample",
         "pack_sequences",
+        "pii_redact",
         "mention_candidates",
     ):
         runs = [

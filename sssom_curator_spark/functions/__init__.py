@@ -11,10 +11,20 @@ from sssom_curator_spark.functions.curie_ops import (
     record_hash,
     standardize_curie,
 )
+from sssom_curator_spark.functions.pii_ops import (
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+    scrub_pii,
+)
 from sssom_curator_spark.functions.text_norm import norm_text_col, normalize_text
 from sssom_curator_spark.functions.scoring import score_match_batch, SCORING_WEIGHTS
 
 __all__ = [
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_pii",
+    "scrub_pii",
     "curie_prefix",
     "expand_curie",
     "record_hash",
