@@ -652,6 +652,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 tokens by (tf DESC, token ASC) with term
+    and document frequency under the shared norm_words rule; countDistinct
+    plans as the hub-safe two-shuffle expand, the top-k as
+    TakeOrderedAndProject (never a global sort)."""
+    from sssom_curator_spark.operators.textstats import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_stats(docs, min_df=2, top_k=25)
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1195,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
+        "vocab_stats": q_vocab_stats,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1702,6 +1714,23 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII_IPV4}', '<IP>', 'g'),
                        '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
             FROM inj
+        """,
+        "vocab_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            agg AS (
+              SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+              FROM toks GROUP BY token
+            )
+            SELECT token, tf, df_docs FROM agg
+            WHERE df_docs >= 2
+            ORDER BY tf DESC, token ASC
+            LIMIT 25
         """,
         "repetition_stats": """
             WITH base AS (

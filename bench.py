@@ -96,6 +96,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "stratified_sample",
         "pack_sequences",
         "pii_redact",
+        "vocab_stats",
         "mention_candidates",
     ):
         runs = [

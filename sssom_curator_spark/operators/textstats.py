@@ -33,6 +33,7 @@ __all__ = [
     "langid_heuristic",
     "doc_fingerprint",
     "repetition_stats",
+    "vocab_stats",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -274,4 +275,47 @@ def repetition_stats(
                 6,
             ).alias("top_2gram_frac"),
         )
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary with term and document frequency — the tokenizer
+    input every pipeline derives (BPE corpus stats, stopword induction,
+    DSIR-style feature hashing all start from exactly this table).
+
+    Tokenizes with :func:`norm_words` (THE shared word rule — the DuckDB
+    oracle replays it verbatim) and emits the ``top_k`` tokens by
+    ``(tf DESC, token ASC)`` with ``tf`` (total occurrences) and
+    ``df_docs`` (documents containing the token), keeping tokens with
+    ``df_docs >= min_df``.
+
+    Scale shape: one explode + one aggregate. ``countDistinct`` plans as
+    Spark's two-shuffle expand rewrite whose FIRST exchange is keyed on
+    (token, doc) — a stopword appearing in every document cannot hot-key
+    a single reducer (same argument as the paragraph-dedup distinct,
+    plan-pinned in tests). The final ordering is a ``TakeOrderedAndProject``
+    (top-k per partition, k-sized merge on the driver), never a global
+    sort. Tokens travel as themselves (bounded by the word rule), so no
+    hashing indirection is needed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(norm_words(F.col(text_col))).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("_doc").alias("df_docs"),
+        )
+        .filter(F.col("df_docs") >= min_df)
+        .orderBy(F.desc("tf"), F.col("token").asc())
+        .limit(top_k)
     )

@@ -329,3 +329,54 @@ class TestDomainOps:
         )
         # NULL-domain (malformed) rows survive the anti-join
         assert kept == ["bad url", "https://b.com/y"]
+
+
+class TestVocabStats:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                ("d1", "the cat sat  ON the mat"),
+                ("d2", "the dog\tand the cat"),
+                ("d3", None),
+                ("d4", "   "),
+            ],
+            "doc_id string, text string",
+        )
+
+    def test_tf_df_and_ordering(self, spark):
+        from sssom_curator_spark.operators.textstats import vocab_stats
+
+        rows = vocab_stats(self._docs(spark), top_k=3).collect()
+        # "the" tf=4 across 2 docs; ties below broken token-ascending
+        assert [r["token"] for r in rows] == ["the", "cat", "and"]
+        assert (rows[0]["tf"], rows[0]["df_docs"]) == (4, 2)
+        assert (rows[1]["tf"], rows[1]["df_docs"]) == (2, 2)
+
+    def test_min_df_filters_singletons(self, spark):
+        from sssom_curator_spark.operators.textstats import vocab_stats
+
+        toks = {
+            r["token"]
+            for r in vocab_stats(self._docs(spark), min_df=2).collect()
+        }
+        assert toks == {"the", "cat"}
+
+    def test_plan_hub_safe_distinct_and_topk(self, spark):
+        """Pin the two scale properties: the distinct-doc count must plan
+        with its FIRST exchange keyed on (token, doc) — a stopword in
+        every document cannot hot-key one reducer — and the top-k must be
+        a TakeOrderedAndProject, never a global sort."""
+        from sssom_curator_spark.operators.textstats import vocab_stats
+
+        plan = (
+            vocab_stats(self._docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(exchanges) == 2
+        # bottom-most exchange (printed last) carries both keys
+        assert "token" in exchanges[-1] and "_doc" in exchanges[-1]
