@@ -652,6 +652,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means (k=8, 2 Lloyd iterations from the
+    min-id seeds): broadcast centroid matmul assignment, posexplode-mean
+    update, 6-dp score rounding + lowest-cluster tie-break so the DuckDB
+    replay follows the identical trajectory."""
+    from sssom_curator_spark.operators.clustering import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assignments(emb, k=8, n_iter=2)
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-25 tokens by (tf DESC, token ASC) with term
     and document frequency under the shared norm_words rule; countDistinct
@@ -1207,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
+        "kmeans": q_kmeans,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1731,6 +1743,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "kmeans": """
+            WITH seeds AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+                     embedding::DOUBLE[] AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            pos AS (SELECT unnest(range(64)) AS p),
+            a0 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, s.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec), 6) DESC,
+                                  s.cluster) AS rn
+                FROM embeddings e CROSS JOIN seeds s
+              ) WHERE rn = 1
+            ),
+            cent1 AS (
+              SELECT cluster, list(v ORDER BY p) AS cvec FROM (
+                SELECT a.cluster, pos.p, round(avg(e.embedding[pos.p + 1]) + 1e-9, 9) AS v
+                FROM a0 a JOIN embeddings e USING (vec_id) CROSS JOIN pos
+                GROUP BY a.cluster, pos.p
+              ) GROUP BY cluster
+            ),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                                  c.cluster) AS rn
+                FROM embeddings e CROSS JOIN cent1 c
+              ) WHERE rn = 1
+            ),
+            cent2 AS (
+              SELECT cluster, list(v ORDER BY p) AS cvec FROM (
+                SELECT a.cluster, pos.p, round(avg(e.embedding[pos.p + 1]) + 1e-9, 9) AS v
+                FROM a1 a JOIN embeddings e USING (vec_id) CROSS JOIN pos
+                GROUP BY a.cluster, pos.p
+              ) GROUP BY cluster
+            )
+            SELECT vec_id, cluster, round(list_cosine_similarity(emb, cvec), 4) AS score
+            FROM (
+              SELECT e.vec_id, c.cluster, e.embedding::DOUBLE[] AS emb, c.cvec,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                                c.cluster) AS rn
+              FROM embeddings e CROSS JOIN cent2 c
+            ) WHERE rn = 1
         """,
         "repetition_stats": """
             WITH base AS (
