@@ -652,6 +652,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: every document scored by hashed-bigram
+    log-likelihood ratio of the lang='en' target slice vs the whole
+    corpus; weights quantized to integer micro-nats so sums are exact
+    and partition-invariant."""
+    from sssom_curator_spark.operators.importance import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(docs.select("doc_id", "text"), docs.filter(F.col("lang") == "en"))
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means (k=8, 2 Lloyd iterations from the
     min-id seeds): broadcast centroid matmul assignment, posexplode-mean
@@ -1219,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
         "kmeans": q_kmeans,
+        "dsir_weights": q_dsir_weights,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
@@ -1743,6 +1755,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "dsir_weights": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 w -> w <> '') AS words
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     substr(md5(array_to_string(words[i:i+1], ' ')), 1, 3) AS bucket
+              FROM base, UNNEST(generate_series(1, len(words) - 1)) AS u(i)
+              WHERE len(words) >= 2
+            ),
+            raw AS (SELECT bucket, count(*) AS rc FROM grams GROUP BY bucket),
+            tgt AS (SELECT bucket, count(*) AS tc FROM grams WHERE lang = 'en' GROUP BY bucket),
+            w AS (
+              SELECT bucket,
+                     CAST(round((ln((coalesce(tc, 0) + 1.0) /
+                                    ((SELECT count(*) FROM grams WHERE lang = 'en') + 4096.0))
+                               - ln((coalesce(rc, 0) + 1.0) /
+                                    ((SELECT count(*) FROM grams) + 4096.0))) * 1e6)
+                          AS BIGINT) AS wq
+              FROM raw FULL JOIN tgt USING (bucket)
+            ),
+            scores AS (
+              SELECT g.doc_id, count(*) AS n_grams, sum(wq) AS sq
+              FROM grams g JOIN w USING (bucket) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   CAST(coalesce(sq, 0) AS BIGINT) / 1e6 AS score
+            FROM documents d LEFT JOIN scores USING (doc_id)
         """,
         "kmeans": """
             WITH seeds AS (

@@ -98,6 +98,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pii_redact",
         "vocab_stats",
         "kmeans",
+        "dsir_weights",
         "mention_candidates",
     ):
         runs = [
