@@ -465,6 +465,74 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup in the hard signal: events replay as an
+    availableNow stream of two ts-split source files (mtimes force
+    early-half-first processing, so each key's first batch holds its
+    global minimum and ``applyInPandasWithState`` first-seen output
+    equals the batch min-per-key rule the DuckDB oracle replays);
+    overlapping keys exercise cross-batch state suppression."""
+    import os
+    import shutil
+    import tempfile
+
+    from sssom_curator_spark.streaming.incremental import streaming_first_seen
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("user_key"),
+            F.col("event_id").cast("string").alias("event_sid"),
+            # watermarks need TIMESTAMP; session tz is pinned UTC so the
+            # NTZ→TZ cast is wall-clock identity (session.py:33)
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    ts_long = F.col("ts").cast("long")
+    mid = ev.agg(F.percentile(ts_long, F.lit(0.5)).alias("m")).first()["m"]
+    root = tempfile.mkdtemp(prefix="first_seen_stream_")
+    try:
+        early, late = f"{root}/src/a.parquet", f"{root}/src/b.parquet"
+        ev.filter(ts_long <= mid).coalesce(1).write.parquet(early)
+        ev.filter(ts_long > mid).coalesce(1).write.parquet(late)
+        # FileStreamSource orders batches by modification time: pin it
+        now = 1_700_000_000
+        for path, t in ((early, now), (late, now + 1000)):
+            for f in os.listdir(path):
+                os.utime(os.path.join(path, f), (t, t))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/src/*")
+        )
+        q = (
+            streaming_first_seen(
+                stream,
+                key_col="user_key",
+                id_col="event_sid",
+                ts_col="ts",
+                # bounded replay: a pending processing-time timeout would
+                # keep the availableNow query alive forever (see operator
+                # docstring); no eviction needed for a finite run
+                state_timeout_hours=None,
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # never leak a live query into the temp-dir cleanup
+        out = spark.read.parquet(f"{root}/out").select(
+            "user_key", "event_sid", "first_ts"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup (C4-style boilerplate removal).
     Both sides append a corpus-wide footer paragraph to every document
@@ -1234,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_stream": q_decontaminate_stream,
+        "first_seen_stream": q_first_seen_stream,
         "mention_candidates": q_mention_candidates,
         "record_hash": q_record_hash,
         "curie_standardize": q_curie_standardize,
@@ -1755,6 +1824,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "first_seen_stream": """
+            SELECT user_key, event_sid, first_ts FROM (
+              SELECT CAST(user_id AS VARCHAR) AS user_key,
+                     CAST(event_id AS VARCHAR) AS event_sid,
+                     ts AS first_ts,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, CAST(event_id AS VARCHAR)) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "dsir_weights": """
             WITH base AS (

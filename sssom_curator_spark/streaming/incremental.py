@@ -74,7 +74,7 @@ def streaming_first_seen(
     key_col: str = "content_hash",
     ts_col: str = "ts",
     watermark: str = "2 hours",
-    state_timeout_hours: int = 24,
+    state_timeout_hours: int | None = 24,
 ) -> DataFrame:
     """Custom stateful streaming dedup via ``applyInPandasWithState``:
     emit each content key's FIRST document, drop later duplicates.
@@ -86,6 +86,14 @@ def streaming_first_seen(
     state: keys idle past ``state_timeout_hours`` are evicted (processing-
     time timeout), so state stays proportional to the active key set, not
     corpus history — the property that matters at CC-scale ingest.
+
+    ``state_timeout_hours=None`` disables eviction (``NoTimeout``). Use
+    that for BOUNDED replays (availableNow): registered processing-time
+    timeouts make the engine keep scheduling no-data batches to check for
+    evictions, so an availableNow query with a pending 24 h timeout never
+    terminates — it spins empty state-store versions until killed
+    (observed: 100+ empty batches in 5 minutes). Continuous production
+    streams keep the default.
 
     Output: ``(content_hash, doc_id, first_ts)`` — one row per new key.
     """
@@ -120,7 +128,8 @@ def streaming_first_seen(
             if best_ts is None or ts < best_ts or (ts == best_ts and doc_id < best_id):
                 best_id, best_ts = doc_id, ts
         state.update((True,))
-        state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
+        if state_timeout_hours is not None:
+            state.setTimeoutDuration(state_timeout_hours * 3600 * 1000)
         if emitted or best_id is None:
             return
         yield pd.DataFrame(
@@ -135,7 +144,11 @@ def streaming_first_seen(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_timeout_hours is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -72,7 +72,13 @@ class TestStreamingFirstSeen:
             spark.createDataFrame(data, schema).coalesce(1).write.mode("append").parquet(src_dir)
             stream = spark.readStream.schema(schema).parquet(src_dir)
             q = (
-                streaming_first_seen(stream, watermark="10 minutes")
+                # NoTimeout: a pending processing-time timeout keeps an
+                # availableNow query scheduling no-data batches forever,
+                # so each run_increment would burn the full
+                # awaitTermination budget (see operator docstring)
+                streaming_first_seen(
+                    stream, watermark="10 minutes", state_timeout_hours=None
+                )
                 .writeStream.format("parquet")
                 .option("path", out_dir)
                 .option("checkpointLocation", ckpt)
