@@ -1366,29 +1366,29 @@ SELECT u AS node, min(v) AS component FROM reach GROUP BY u
 #: bytewise sort, trailing-slash strip — ending in ``canon(canonical_url)``
 #: with one row per input row.
 _URL_CANON_CTES = """
-            nofrag AS (
+            nofrag AS MATERIALIZED (
               SELECT trim(url) AS raw_t, string_split(trim(url), '#')[1] AS u FROM raw
             ),
-            mal AS (
+            mal AS MATERIALIZED (
               SELECT raw_t AS canonical_url FROM nofrag WHERE strpos(u, '://') = 0
             ),
-            parts AS (
+            parts AS MATERIALIZED (
               SELECT CASE WHEN strpos(u, '?') > 0 THEN u[1:strpos(u,'?')-1] ELSE u END AS pre_q,
                      CASE WHEN strpos(u, '?') > 0 THEN u[strpos(u,'?')+1:] ELSE '' END AS q
               FROM nofrag WHERE strpos(u, '://') > 0
             ),
-            sch AS (
+            sch AS MATERIALIZED (
               SELECT lower(pre_q[1:strpos(pre_q,'://')-1]) AS scheme,
                      pre_q[strpos(pre_q,'://')+3:] AS rest, q
               FROM parts
             ),
-            hostpath AS (
+            hostpath AS MATERIALIZED (
               SELECT scheme, q,
                      CASE WHEN strpos(rest,'/') > 0 THEN rest[1:strpos(rest,'/')-1] ELSE rest END AS hostport,
                      CASE WHEN strpos(rest,'/') > 0 THEN rest[strpos(rest,'/'):] ELSE '' END AS path
               FROM sch
             ),
-            hp AS (
+            hp AS MATERIALIZED (
               SELECT scheme, path,
                      lower(CASE WHEN strpos(hostport,':') > 0 THEN hostport[1:strpos(hostport,':')-1] ELSE hostport END) AS host,
                      CASE WHEN strpos(hostport,':') > 0 THEN hostport[strpos(hostport,':')+1:] ELSE '' END AS port,
@@ -1398,7 +1398,7 @@ _URL_CANON_CTES = """
                             AND NOT starts_with(p, 'gclid='))) AS keep
               FROM hostpath
             ),
-            canon AS (
+            canon AS MATERIALIZED (
               SELECT scheme || '://' ||
                      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                                OR (scheme = 'https' AND port = '443')
@@ -1720,7 +1720,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n FROM canon GROUP BY 1
         """,
         "domain_stats": f"""
-            WITH raw AS (
+            WITH raw AS MATERIALIZED (
               SELECT CASE WHEN o_orderkey % 11 = 0 THEN '  site-relative/path?x=1 '
                        ELSE 'https://www.site' || CAST(o_custkey % 7 AS VARCHAR)
                             || '.com/p/' || CAST(o_orderkey % 40 AS VARCHAR)
@@ -1729,7 +1729,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS url
               FROM orders
             ),{_URL_CANON_CTES},
-            dom AS (
+            dom AS MATERIALIZED (
               SELECT canonical_url,
                      CASE WHEN strpos(canonical_url, '://') > 0 THEN
                        lower(string_split(string_split(string_split(
@@ -1737,7 +1737,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS host
               FROM canon
             ),
-            dom2 AS (
+            dom2 AS MATERIALIZED (
               SELECT canonical_url,
                      CASE WHEN host IS NULL THEN NULL
                           WHEN len(string_split(host, '.')) >= 2
@@ -1745,7 +1745,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE host END AS domain
               FROM dom
             ),
-            kept AS (
+            kept AS MATERIALIZED (
               SELECT * FROM dom2
               WHERE domain IS NULL OR domain NOT IN ('site0.com', 'site3.com')
             )
