@@ -753,6 +753,17 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, min_df=2, top_k=25)
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training primitive: one BPE merge-iteration — top-40
+    adjacent character-pair frequencies inside norm_words pre-tokens,
+    weighted by word occurrence count. The explode runs over the
+    DISTINCT-word frequency table (vocabulary-sized), never the corpus."""
+    from sssom_curator_spark.operators.textstats import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(docs, top_k=40)
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1297,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
+        "bpe_pairs": q_bpe_pairs,
         "kmeans": q_kmeans,
         "dsir_weights": q_dsir_weights,
         "repetition_stats": q_repetition_stats,
@@ -1824,6 +1836,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "bpe_pairs": """
+            WITH w AS MATERIALIZED (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS word
+              FROM documents
+            ),
+            wc AS MATERIALIZED (
+              SELECT word, count(*) AS n FROM w
+              WHERE len(word) >= 2 GROUP BY word
+            ),
+            p AS (
+              SELECT n, unnest(list_transform(range(1, len(word)),
+                       i -> {'l': substr(word, i, 1),
+                             'r': substr(word, i + 1, 1)})) AS pr
+              FROM wc
+            )
+            SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+            FROM p GROUP BY 1, 2
+            ORDER BY cnt DESC, lhs ASC, rhs ASC
+            LIMIT 40
         """,
         "first_seen_stream": """
             SELECT user_key, event_sid, first_ts FROM (

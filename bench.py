@@ -97,6 +97,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pack_sequences",
         "pii_redact",
         "vocab_stats",
+        "bpe_pairs",
         "kmeans",
         "dsir_weights",
         "mention_candidates",

@@ -34,6 +34,7 @@ __all__ = [
     "doc_fingerprint",
     "repetition_stats",
     "vocab_stats",
+    "bpe_pair_counts",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -317,5 +318,59 @@ def vocab_stats(
         )
         .filter(F.col("df_docs") >= min_df)
         .orderBy(F.desc("tf"), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """One BPE merge-iteration: adjacent symbol-pair frequencies inside
+    pre-tokens — the inner loop of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016), run corpus-wide. Pre-tokens come from
+    :func:`norm_words` (THE shared word rule); symbols start as single
+    characters, so the output ranks the first merge candidates.
+
+    Returns ``(lhs, rhs, cnt)`` — the ``top_k`` pairs by
+    ``(cnt DESC, lhs ASC, rhs ASC)``.
+
+    Scale shape: aggregate to the DISTINCT-word frequency table FIRST
+    (one shuffle on the word; the vocabulary is Heaps-law bounded,
+    orders of magnitude smaller than the corpus at 100 TB), then explode
+    each distinct word into its ``len-1`` adjacent pairs and re-aggregate
+    weighted by the word count — the char-pair explode runs over the
+    vocabulary, never the corpus. The final ordering is a top-k
+    (``TakeOrderedAndProject``), not a global sort. A full BPE trainer
+    iterates this: apply the winning merge to the vocabulary frame
+    (pure map-side string rewrite) and re-run — each iteration stays
+    vocabulary-sized.
+    """
+    words = df.select(F.explode(norm_words(F.col(text_col))).alias("word"))
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("word") >= 2)  # single-symbol words have no pairs
+    )
+    w = F.col("word")
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: F.struct(
+                    w.substr(i, F.lit(1)).alias("lhs"),
+                    w.substr(i + 1, F.lit(1)).alias("rhs"),
+                ),
+            )
+        ).alias("p"),
+        "n",
+    )
+    return (
+        pairs.select("p.lhs", "p.rhs", "n")
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("lhs").asc(), F.col("rhs").asc())
         .limit(top_k)
     )

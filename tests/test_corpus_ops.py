@@ -380,3 +380,40 @@ class TestVocabStats:
         assert len(exchanges) == 2
         # bottom-most exchange (printed last) carries both keys
         assert "token" in exchanges[-1] and "_doc" in exchanges[-1]
+
+
+class TestBpePairCounts:
+    def test_counts_match_hand_replay(self, spark):
+        from sssom_curator_spark.operators.textstats import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [("d1", "aba  AB"), ("d2", "aba x"), ("d3", None)],
+            "doc_id string, text string",
+        )
+        rows = bpe_pair_counts(docs, top_k=10).collect()
+        got = {(r["lhs"], r["rhs"]): r["cnt"] for r in rows}
+        # words: aba x2, ab x1 ('x' has no pairs, None drops)
+        # pairs: aba -> (a,b)+(b,a) each x2; ab -> (a,b) x1
+        assert got == {("a", "b"): 3, ("b", "a"): 2}
+        # ordering: cnt DESC then lhs/rhs ASC
+        assert [(r["lhs"], r["rhs"]) for r in rows] == [("a", "b"), ("b", "a")]
+
+    def test_explode_is_vocabulary_sized(self, spark):
+        """Pin the scale shape: the pair explode must sit ABOVE the word
+        aggregation (vocabulary-sized input), i.e. the plan has exactly
+        two aggregate exchanges (word, then pair) and the generator
+        consumes the aggregated count column."""
+        from sssom_curator_spark.operators.textstats import bpe_pair_counts
+
+        docs = spark.createDataFrame([("d", "a b ab")], "doc_id string, text string")
+        plan = (
+            bpe_pair_counts(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(exchanges) == 2
+        gen = plan.index("Generate explode")
+        # the word-count aggregate's exchange is BELOW (printed after) the
+        # generator: the explode runs over aggregated distinct words
+        assert any("word" in l for l in plan[gen:].splitlines()
+                   if "Exchange hashpartitioning" in l)
