@@ -674,6 +674,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing planner: per-language keep rates realizing a
+    50/25/25 en/de/es char-volume mixture from measured sizes —
+    downsample-only, binding-group-scaled; dim-sized plan, the corpus
+    appears only in the upstream size aggregation."""
+    from sssom_curator_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    stats = docs.groupBy("lang").agg(F.sum("n_chars").alias("n_tokens"))
+    return mixture_weights(
+        stats, {"en": 0.5, "de": 0.25, "es": 0.25}, group_col="lang"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing offsets (n_chars as the token
     proxy, 4096-unit sequences, 16 salted buckets): per-document bucket,
@@ -1305,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_weights": q_mixture_weights,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
@@ -1778,6 +1793,26 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN '{_ht(0.8)}'
                        WHEN lang = 'de' THEN '{_ht(0.3)}'
                        ELSE '{_ht(0.05)}' END
+        """,
+        "mixture_weights": """
+            WITH stats AS MATERIALIZED (
+              SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang
+            ),
+            tgt(lang, t) AS (
+              VALUES ('en', CAST(0.5 AS DOUBLE)),
+                     ('de', CAST(0.25 AS DOUBLE)),
+                     ('es', CAST(0.25 AS DOUBLE))
+            ),
+            j AS (
+              SELECT s.lang, s.n_tokens, t.t
+              FROM stats s JOIN tgt t USING (lang) WHERE t.t > 0
+            ),
+            m AS (SELECT *, min(n_tokens / t) OVER () AS c FROM j)
+            SELECT lang, t AS target_frac,
+                   floor(c * t / n_tokens * 1e9) / 1e9 AS keep_rate,
+                   CAST(floor(c * t) AS BIGINT) AS kept_size
+            FROM m
         """,
         "pack_sequences": """
             WITH t AS (

@@ -94,6 +94,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "domain_stats",
         "hash_split",
         "stratified_sample",
+        "mixture_weights",
         "pack_sequences",
         "pii_redact",
         "vocab_stats",

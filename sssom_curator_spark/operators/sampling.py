@@ -30,6 +30,7 @@ __all__ = [
     "split_assign",
     "deterministic_sample",
     "stratified_sample",
+    "mixture_weights",
     "pack_sequences",
 ]
 
@@ -171,3 +172,63 @@ def pack_sequences(
         (cum % budget).cast("long").alias("offset"),
     )
     return out
+
+
+def mixture_weights(
+    stats: DataFrame,
+    targets: dict[str, float],
+    *,
+    group_col: str = "domain",
+    size_col: str = "n_tokens",
+    round_scale: int = 9,
+) -> DataFrame:
+    """Corpus-mixing planner: per-group keep rates that realize a target
+    mixture (e.g. 50% books / 30% web / 20% code by tokens) from measured
+    per-group sizes — the step between :func:`domain_stats`-style
+    aggregation and :func:`stratified_sample` application.
+
+    ``targets`` maps group value → desired share (normalized). The plan
+    downsamples only (no rate exceeds 1): the binding group is the one
+    with the smallest ``size/share``, every other group is cut to match
+    its proportion, so total kept volume is the maximum achievable for
+    the requested mixture. Emits ``(group_col, target_frac, keep_rate,
+    kept_size)``; feed ``keep_rate`` per group into
+    :func:`stratified_sample`. Groups absent from ``targets`` keep 0 (use
+    ``default_fraction`` downstream) and are omitted here, as are target
+    groups missing from ``stats`` (nothing to keep).
+
+    Scale shape: ``stats`` is a group-level dimension (domains or
+    sources, never documents), so the literal target frame broadcasts
+    and the binding-constraint minimum is one unpartitioned window over
+    dim-sized data — the corpus is never touched. Determinism: target
+    shares are normalized in PYTHON and embedded as literals, and both
+    engines evaluate the same IEEE-double expressions in the same shape,
+    so the DuckDB oracle replays rates exactly; ``keep_rate`` is
+    FLOOR-quantized at 1e-9 (floor of an identical double is exact
+    everywhere — no rounding-mode coupling, and an exact rate of 1.0
+    stays 1.0).
+    """
+    import pandas as pd
+
+    total = float(sum(targets.values()))
+    if total <= 0 or any(v < 0 for v in targets.values()):
+        raise ValueError("targets must be non-negative with a positive sum")
+    from pyspark.sql import Window
+
+    tgt = stats.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {group_col: list(targets), "_t": [v / total for v in targets.values()]}
+        )
+    )
+    everything = Window.partitionBy()
+    joined = stats.join(F.broadcast(tgt), on=group_col, how="inner").filter(
+        F.col("_t") > 0
+    )
+    c = F.min(F.col(size_col) / F.col("_t")).over(everything)
+    q = float(10 ** round_scale)
+    return joined.select(
+        group_col,
+        F.col("_t").alias("target_frac"),
+        (F.floor(c * F.col("_t") / F.col(size_col) * q) / q).alias("keep_rate"),
+        F.floor(c * F.col("_t")).cast("long").alias("kept_size"),
+    )

@@ -156,3 +156,48 @@ class TestPackSequences:
 
         with pytest.raises(ValueError):
             pack_sequences(_docs(spark, 5).withColumn("n_tokens", F.lit(1)), budget=0)
+
+
+class TestMixtureWeights:
+    def test_binding_group_and_rates(self, spark):
+        """en 1000 / de 300 / es 200 chars at 50/30/20 targets: de binds
+        (300/0.3 = 1000 is the smallest size/share), so kept = 500/300/200
+        and rates = 0.5/1.0/1.0; fr (absent from targets) is omitted."""
+        import pandas as pd
+
+        from sssom_curator_spark.operators.sampling import mixture_weights
+
+        stats = spark.createDataFrame(
+            pd.DataFrame(
+                {"domain": ["en", "de", "es", "fr"], "n_tokens": [1000, 300, 200, 999]}
+            )
+        )
+        rows = {
+            r["domain"]: r
+            for r in mixture_weights(
+                stats, {"en": 0.5, "de": 0.3, "es": 0.2}
+            ).collect()
+        }
+        assert set(rows) == {"en", "de", "es"}
+        assert rows["de"]["keep_rate"] == 1.0 and rows["es"]["keep_rate"] == 1.0
+        assert abs(rows["en"]["keep_rate"] - 0.5) < 1e-9
+        assert [rows[g]["kept_size"] for g in ("en", "de", "es")] == [500, 300, 200]
+        # shares of kept volume hit the target mixture exactly
+        total = sum(r["kept_size"] for r in rows.values())
+        assert [round(rows[g]["kept_size"] / total, 6) for g in ("en", "de", "es")] == [
+            0.5, 0.3, 0.2,
+        ]
+        # no rate ever exceeds 1 (downsample-only contract)
+        assert all(r["keep_rate"] <= 1.0 for r in rows.values())
+
+    def test_rejects_bad_targets(self, spark):
+        import pandas as pd
+        import pytest
+
+        from sssom_curator_spark.operators.sampling import mixture_weights
+
+        stats = spark.createDataFrame(pd.DataFrame({"domain": ["a"], "n_tokens": [1]}))
+        with pytest.raises(ValueError):
+            mixture_weights(stats, {"a": -0.1, "b": 0.2})
+        with pytest.raises(ValueError):
+            mixture_weights(stats, {"a": 0.0})
