@@ -767,6 +767,17 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, min_df=2, top_k=25)
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-window exposure per document: the
+    fraction of each doc's distinct 3-token windows occurring elsewhere
+    in the corpus. Windows travel as md5; the duplicated-window dim is
+    one column; every doc's counts are pinned."""
+    from sssom_curator_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_stats(docs, window_tokens=3, min_df=2)
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training primitive: one BPE merge-iteration — top-40
     adjacent character-pair frequencies inside norm_words pre-tokens,
@@ -1324,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
         "bpe_pairs": q_bpe_pairs,
+        "dup_span_stats": q_dup_span_stats,
         "kmeans": q_kmeans,
         "dsir_weights": q_dsir_weights,
         "repetition_stats": q_repetition_stats,
@@ -1871,6 +1883,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "dup_span_stats": f"""
+            WITH {_SHINGLES_CTE},
+            dupw AS MATERIALIZED (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+            ),
+            dc AS MATERIALIZED (
+              SELECT doc_id, count(*) AS n_dup
+              FROM sh JOIN dupw USING (shingle) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup,
+                   round(CASE WHEN coalesce(s.n, 0) > 0
+                              THEN coalesce(dc.n_dup, 0) * 1.0 / s.n
+                              ELSE 0.0 END + 1e-9, 6) AS dup_frac
+            FROM documents d
+            LEFT JOIN sizes s USING (doc_id)
+            LEFT JOIN dc USING (doc_id)
         """,
         "bpe_pairs": """
             WITH w AS MATERIALIZED (

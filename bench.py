@@ -89,6 +89,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "repetition_stats",
         "decontaminate",
         "paragraph_dedup",
+        "dup_span_stats",
         "url_canonicalize",
         "near_dedup_apply",
         "domain_stats",

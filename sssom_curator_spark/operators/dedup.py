@@ -43,6 +43,7 @@ __all__ = [
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
     "near_dedup_apply",
+    "dup_span_stats",
     "drop_repeated_paragraphs",
     "simhash",
     "simhash_near_duplicates",
@@ -583,4 +584,66 @@ def drop_repeated_paragraphs(
             F.coalesce(F.col("_rebuilt"), F.lit("")).alias(c) if c == text_col else F.col(c)
             for c in docs.columns
         ]
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure — the ExactSubstr-style
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for every document, the fraction of its DISTINCT
+    ``window_tokens``-token windows that also occur in at least
+    ``min_df - 1`` other places in the corpus. High ``dup_frac`` flags
+    boilerplate-heavy or templated pages that near-dup pair detection
+    (which needs MOST of the document shared) misses.
+
+    Returns ``(doc_id, n_windows, n_dup, dup_frac)`` for every input row;
+    documents shorter than ``window_tokens`` get ``(0, 0, 0.0)``.
+
+    Scale shape: windows derive map-side from the shared shingle
+    expression and travel as md5 hashes, never text. Two corpus scans
+    (the duplicated-window dimension, then the scoring pass — recomputed,
+    not cached, per the no-corpus-cache discipline) and two shuffles: the
+    window-frequency groupBy (map-side partial counts collapse repeated
+    hashes per partition, so a boilerplate window cannot flood the
+    exchange) and the per-document reassembly. The scoring join keys the
+    corpus stream on the window hash; a corpus-wide boilerplate window is
+    a genuinely hot key there — AQE's skew-join split handles it, and the
+    dimension side carries only duplicated hashes (one column).
+    """
+    arrs = shingle_arrays(df, id_col=id_col, text_col=text_col, n=window_tokens)
+    stream = arrs.select(
+        "doc_id",
+        # NULL text → NULL array; clamp to 0 (and -1 under legacy size())
+        F.greatest(F.coalesce(F.size("sh_arr"), F.lit(0)), F.lit(0)).alias(
+            "n_windows"
+        ),
+        F.explode_outer(
+            F.transform(F.col("sh_arr"), lambda s: F.md5(s))
+        ).alias("h"),
+    )
+    dup_dim = (
+        stream.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    joined = stream.join(dup_dim, on="h", how="left")
+    return joined.groupBy("doc_id").agg(
+        F.max("n_windows").alias("n_windows"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"),
+        stable_round(
+            F.when(
+                F.max("n_windows") > 0,
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0))) / F.max("n_windows"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
     )

@@ -314,3 +314,49 @@ class TestNearDedupApply:
         pairs = spark.createDataFrame(pd.DataFrame({"doc_a": ["y"], "doc_b": ["z"]}))
         kept = sorted(r["doc_id"] for r in near_dedup_apply(docs, pairs).collect())
         assert kept == ["x", "y"]
+
+
+class TestDupSpanStats:
+    def test_hand_counts(self, spark):
+        from sssom_curator_spark.operators.dedup import dup_span_stats
+
+        docs = spark.createDataFrame(
+            [
+                ("d1", "a b c d"),      # windows: 'a b c', 'b c d'
+                ("d2", "a b c x"),      # windows: 'a b c', 'b c x'
+                ("d3", "z z"),          # too short for 3-token windows
+                ("d4", None),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {r["doc_id"]: r for r in dup_span_stats(docs).collect()}
+        assert set(rows) == {"d1", "d2", "d3", "d4"}
+        # 'a b c' occurs in d1 and d2 -> duplicated; the other windows are unique
+        assert (rows["d1"]["n_windows"], rows["d1"]["n_dup"]) == (2, 1)
+        assert (rows["d2"]["n_windows"], rows["d2"]["n_dup"]) == (2, 1)
+        assert rows["d1"]["dup_frac"] == 0.5
+        assert (rows["d3"]["n_windows"], rows["d3"]["n_dup"], rows["d3"]["dup_frac"]) == (0, 0, 0.0)
+        assert (rows["d4"]["n_windows"], rows["d4"]["n_dup"], rows["d4"]["dup_frac"]) == (0, 0, 0.0)
+
+    def test_within_doc_repeats_do_not_self_duplicate(self, spark):
+        """Windows are distinct PER DOCUMENT before counting: a window
+        repeated only inside one document must not count as duplicated."""
+        from sssom_curator_spark.operators.dedup import dup_span_stats
+
+        docs = spark.createDataFrame(
+            [("d1", "a b c q a b c")],  # 'a b c' twice, but only in d1
+            "doc_id string, text string",
+        )
+        r = dup_span_stats(docs).collect()[0]
+        assert r["n_dup"] == 0 and r["dup_frac"] == 0.0
+
+    def test_partition_invariant(self, spark):
+        from sssom_curator_spark.operators.dedup import dup_span_stats
+
+        docs = spark.createDataFrame(
+            [(f"d{i}", f"w{i} common text here w{i+1}") for i in range(20)],
+            "doc_id string, text string",
+        )
+        a = sorted(map(tuple, dup_span_stats(docs).collect()))
+        b = sorted(map(tuple, dup_span_stats(docs.repartition(7)).collect()))
+        assert a == b
