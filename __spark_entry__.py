@@ -767,6 +767,28 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, min_df=2, top_k=25)
 
 
+def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl refresh: 'standing corpus' (even event_ids) +
+    'new crawl' (odd event_ids) with URL variants synthesized from the
+    same 300 pages; keep the newest capture per canonical URL — one
+    two-phase max(struct) shuffle, every surviving row pinned."""
+    from sssom_curator_spark.functions.url_ops import crawl_merge
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("HTTP://Site.org:80/p/")).otherwise(
+            F.lit("http://site.org/p/")
+        ),
+        (k % 300).cast("string"),
+        F.when(k % 4 == 0, F.lit("?utm_source=crawl&v=1")).otherwise(F.lit("?v=1")),
+    )
+    pages = e.select(url.alias("url"), F.col("ts").alias("warc_ts"), "event_id")
+    old = pages.filter(k % 2 == 0)
+    new = pages.filter(k % 2 == 1)
+    return crawl_merge(old, new)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-window exposure per document: the
     fraction of each doc's distinct 3-token windows occurring elsewhere
@@ -1336,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "bpe_pairs": q_bpe_pairs,
         "dup_span_stats": q_dup_span_stats,
+        "crawl_merge": q_crawl_merge,
         "kmeans": q_kmeans,
         "dsir_weights": q_dsir_weights,
         "repetition_stats": q_repetition_stats,
@@ -1883,6 +1906,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "crawl_merge": """
+            WITH pages AS MATERIALIZED (
+              SELECT CASE WHEN event_id % 3 = 0 THEN 'HTTP://Site.org:80/p/'
+                          ELSE 'http://site.org/p/' END
+                     || CAST(event_id % 300 AS VARCHAR)
+                     || CASE WHEN event_id % 4 = 0 THEN '?utm_source=crawl&v=1'
+                             ELSE '?v=1' END AS url,
+                     ts AS warc_ts, event_id
+              FROM events
+            ),
+            keyed AS (
+              -- the synthesized variants all collapse to this canonical
+              -- form (case/default-port lowered, utm dropped); the full
+              -- canonicalizer itself is replayed by the url_canonicalize
+              -- oracle
+              SELECT *, 'http://site.org/p/' || CAST(event_id % 300 AS VARCHAR)
+                        || '?v=1' AS curl
+              FROM pages
+            ),
+            r AS (
+              SELECT url, warc_ts, event_id,
+                     row_number() OVER (
+                       PARTITION BY curl
+                       ORDER BY warc_ts DESC, url DESC, event_id DESC) AS rn
+              FROM keyed
+            )
+            SELECT url, warc_ts, event_id FROM r WHERE rn = 1
         """,
         "dup_span_stats": f"""
             WITH {_SHINGLES_CTE},

@@ -91,6 +91,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "paragraph_dedup",
         "dup_span_stats",
         "url_canonicalize",
+        "crawl_merge",
         "near_dedup_apply",
         "domain_stats",
         "hash_split",

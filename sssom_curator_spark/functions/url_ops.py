@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "canonicalize_url",
     "url_dedup",
+    "crawl_merge",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -262,3 +263,63 @@ def filter_blocklisted_domains(
         on=registered_domain(url_col) == F.col("_bdom"),
         how="left_anti",
     )
+
+
+def crawl_merge(
+    snapshots: DataFrame,
+    fresh: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Incremental crawl refresh: union the standing corpus with a new
+    crawl and keep EXACTLY the newest capture per canonical URL — the
+    recurring maintenance job of a Common-Crawl-style pipeline (each
+    monthly crawl re-captures most URLs; the corpus must converge to one
+    fresh row per page without reprocessing history).
+
+    The winner is the MAXIMUM ``ts_col``; ties (same URL captured twice
+    in one crawl second) break on the remaining row content
+    (struct-lexicographic, like :func:`url_dedup`), so the survivor is
+    deterministic and exactly one of a set of fully-identical rows
+    remains. Both inputs must share a schema (``unionByName``).
+
+    Scale shape: ONE shuffle on the canonical key as a two-phase
+    ``groupBy(max(struct(ts, row)))`` — the maximum combines MAP-SIDE,
+    so each upstream partition ships at most one candidate per canonical
+    URL and a URL captured in every crawl for a decade costs its reducer
+    O(partitions), not O(captures). Run incrementally (standing corpus +
+    one new crawl), the standing side is already unique per key, so the
+    map-side combine degenerates to a pass-through there and the real
+    work is proportional to the NEW crawl. Frames with map-typed columns
+    take the same hashed-winner fallback as :func:`url_dedup`.
+    """
+    all_rows = snapshots.unionByName(fresh)
+    cols = all_rows.columns
+    tagged = all_rows.withColumn("_curl", canonicalize_url(url_col))
+    no_maps = [f.name for f in all_rows.schema.fields if not _contains_map(f.dataType)]
+    if len(no_maps) == len(cols):
+        winner = tagged.groupBy("_curl").agg(
+            F.max(
+                F.struct(F.col(ts_col).alias("_ts"), F.struct(*cols).alias("_r"))
+            ).alias("_w")
+        )
+        return winner.select("_w._r.*")
+    winners = tagged.groupBy("_curl").agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                F.xxhash64(F.struct(*no_maps)).alias("_h"),
+            )
+        ).alias("_w")
+    )
+    resolved = tagged.join(
+        winners,
+        on=[
+            tagged["_curl"] == winners["_curl"],
+            F.col(ts_col) == F.col("_w._ts"),
+            F.xxhash64(F.struct(*[tagged[c] for c in no_maps])) == F.col("_w._h"),
+        ],
+        how="left_semi",
+    )
+    return resolved.dropDuplicates(["_curl"]).drop("_curl")

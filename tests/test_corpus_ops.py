@@ -417,3 +417,59 @@ class TestBpePairCounts:
         # generator: the explode runs over aggregated distinct words
         assert any("word" in l for l in plan[gen:].splitlines()
                    if "Exchange hashpartitioning" in l)
+
+
+class TestCrawlMerge:
+    def test_newest_capture_wins(self, spark):
+        from sssom_curator_spark.functions.url_ops import crawl_merge
+
+        old = spark.createDataFrame(
+            [
+                ("HTTP://A.com:80/x?utm_source=1", "2024-01-01", "old-x"),
+                ("http://a.com/y", "2024-01-01", "old-y"),
+            ],
+            "url string, warc_ts string, body string",
+        )
+        new = spark.createDataFrame(
+            [("http://a.com/x", "2024-02-01", "new-x")],
+            "url string, warc_ts string, body string",
+        )
+        kept = {r["body"]: r for r in crawl_merge(old, new).collect()}
+        # /x refreshed by the new crawl; /y untouched survives
+        assert set(kept) == {"new-x", "old-y"}
+
+    def test_ties_and_identical_rows_keep_exactly_one(self, spark):
+        from sssom_curator_spark.functions.url_ops import crawl_merge
+
+        old = spark.createDataFrame(
+            [("http://a.com/x", "2024-01-01", "a")],
+            "url string, warc_ts string, body string",
+        )
+        new = spark.createDataFrame(
+            [
+                ("http://a.com/x", "2024-01-01", "b"),  # ts tie, content differs
+                ("http://a.com/x", "2024-01-01", "b"),  # fully identical pair
+            ],
+            "url string, warc_ts string, body string",
+        )
+        kept = crawl_merge(old, new).collect()
+        assert len(kept) == 1
+        assert kept[0]["body"] == "b"  # struct-max tiebreak: larger row wins
+        again = crawl_merge(old.repartition(5), new.repartition(3)).collect()
+        assert [tuple(r) for r in again] == [tuple(r) for r in kept]
+
+    def test_map_columns_take_fallback_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.url_ops import crawl_merge
+
+        old = spark.createDataFrame(
+            [("http://a.com/x", "2024-01-01", "a")],
+            "url string, warc_ts string, body string",
+        ).withColumn("headers", F.create_map(F.lit("k"), F.col("body")))
+        new = spark.createDataFrame(
+            [("http://a.com/x", "2024-02-01", "b")],
+            "url string, warc_ts string, body string",
+        ).withColumn("headers", F.create_map(F.lit("k"), F.col("body")))
+        kept = crawl_merge(old, new).collect()
+        assert len(kept) == 1 and kept[0]["body"] == "b"
