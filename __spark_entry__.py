@@ -767,6 +767,30 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, min_df=2, top_k=25)
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (Spark's third window family next to
+    tumbling/sliding, SURVEY.md §2.9): per-user sessions split at >30 min
+    idle gaps via F.session_window — the same expression Structured
+    Streaming uses stateful — with the oracle replaying the gaps-and-
+    islands form (lag + cumulative new-session sum). Session end is
+    last_ts + gap per Spark's semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
 def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl refresh: 'standing corpus' (even event_ids) +
     'new crawl' (odd event_ids) with URL variants synthesized from the
@@ -1359,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
+        "session_window": q_session_window,
         "kmeans": q_kmeans,
         "dsir_weights": q_dsir_weights,
         "repetition_stats": q_repetition_stats,
@@ -1906,6 +1931,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "session_window": """
+            WITH o AS MATERIALIZED (
+              SELECT user_id, ts,
+                     -- strictly >: Spark merges sessions whose windows
+                     -- TOUCH (an event exactly gap after the previous one
+                     -- joins its session — pinned by
+                     -- test_exact_gap_merges_into_session)
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S.%g') AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "crawl_merge": """
             WITH pages AS MATERIALIZED (

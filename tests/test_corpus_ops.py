@@ -473,3 +473,26 @@ class TestCrawlMerge:
         ).withColumn("headers", F.create_map(F.lit("k"), F.col("body")))
         kept = crawl_merge(old, new).collect()
         assert len(kept) == 1 and kept[0]["body"] == "b"
+
+
+class TestSessionWindowBoundary:
+    def test_exact_gap_merges_into_session(self, spark):
+        """Pin Spark's session-merge semantics: windows that TOUCH merge,
+        so an event exactly `gap` after the previous one JOINS its
+        session (the DuckDB oracle therefore splits on strictly >)."""
+        from pyspark.sql import functions as F
+
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00"),
+                (1, "2024-01-01 00:30:00"),  # exactly the 30-min gap
+                (1, "2024-01-01 00:40:00"),  # merges with the second
+            ],
+            "user_id int, ts_s string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        rows = (
+            ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted(r["n"] for r in rows) == [3]
