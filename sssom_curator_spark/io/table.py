@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from sssom_curator_spark.functions.curie_ops import curie_prefix
 
-__all__ = ["write_mappings_table", "read_mappings_table"]
+__all__ = ["write_mappings_table", "read_mappings_table", "write_training_shards"]
 
 #: partition column name → expression over the mapping row
 _DERIVED = {
@@ -68,3 +68,39 @@ def read_mappings_table(
         df = df.filter(F.col("subject_prefix") == subject_prefix)
     drop = [c for c in _DERIVED if c in df.columns]
     return df.drop(*drop)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    rows_per_shard: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training corpus as deterministic sharded parquet —
+    the final sink of the selection pipeline (``split_assign`` →
+    ``stratified_sample`` → ``pack_sequences`` → here): one directory per
+    split, files of at most ``rows_per_shard`` rows, rows sorted by
+    ``id_col`` within every file so a re-run writes byte-stable shards
+    and a training loader streams ids in a reproducible order.
+
+    Scale shape: ``repartitionByRange(split, id)`` gives the dynamic
+    partition writer pre-clustered input — every task writes to exactly
+    ONE split directory (no writer-side fan-out to every partition, the
+    classic dynamic-partition small-files failure) and the range
+    boundaries come from a sampled sketch, so shards stay balanced even
+    when one split dominates. ``maxRecordsPerFile`` caps shard size
+    without another shuffle. Sorting happens inside the range partitions
+    (``sortWithinPartitions``), never globally.
+    """
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        df.repartitionByRange(n_parts, F.col(split_col), F.col(id_col))
+        .sortWithinPartitions(split_col, id_col)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .partitionBy(split_col)
+        .parquet(path)
+    )

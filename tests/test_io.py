@@ -466,3 +466,43 @@ class TestNiceMax:
         assert _nice_max(0.0) == 1.0
         assert _nice_max(7.0) == 10.0
         assert _nice_max(0.03) == 0.05
+
+
+class TestTrainingShards:
+    def test_layout_roundtrip_and_determinism(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.io.table import write_training_shards
+        from sssom_curator_spark.operators.sampling import split_assign
+
+        docs = spark.range(0, 500).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+            (F.col("id") % 7).alias("payload"),
+        )
+        assigned = split_assign(docs, id_col="doc_id")
+        out = str(tmp_path / "shards")
+        write_training_shards(assigned, out, rows_per_shard=100)
+
+        # one directory per split value
+        dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/split=*"))
+        assert dirs == ["split=test", "split=train", "split=val"]
+        # every shard respects the row cap, rows sorted by id inside
+        for f in glob.glob(f"{out}/split=*/*.parquet"):
+            pdf = spark.read.parquet(f).toPandas()
+            assert len(pdf) <= 100
+            assert list(pdf["doc_id"]) == sorted(pdf["doc_id"])
+        # roundtrip preserves the full frame
+        back = spark.read.parquet(out)
+        assert back.count() == 500
+        a = sorted(map(tuple, assigned.select("doc_id", "payload", "split").collect()))
+        b = sorted(map(tuple, back.select("doc_id", "payload", "split").collect()))
+        assert a == b
+        # re-write under a different input partitioning -> identical layout
+        out2 = str(tmp_path / "shards2")
+        write_training_shards(assigned.repartition(13), out2, rows_per_shard=100)
+        c = sorted(map(tuple, spark.read.parquet(out2)
+                       .select("doc_id", "payload", "split").collect()))
+        assert c == a
