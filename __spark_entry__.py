@@ -835,6 +835,17 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_k=40)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training, 2 greedy merges over the documents corpus
+    — the oracle replays the exact trajectory (pair counts → top-1 →
+    greedy left-to-right apply via literal separator-string replace),
+    like the k-means trajectory oracle."""
+    from sssom_curator_spark.operators.textstats import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_train(docs, n_merges=2)
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1381,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2027,6 +2039,57 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2
             ORDER BY cnt DESC, lhs ASC, rhs ASC
             LIMIT 40
+        """,
+        "bpe_train": """
+            WITH w AS MATERIALIZED (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS word
+                FROM documents
+              ) GROUP BY word
+            ),
+            vocab0 AS MATERIALIZED (
+              SELECT array_to_string(
+                       list_transform(range(1, len(word) + 1),
+                                      i -> substr(word, i, 1)), chr(31)) AS s,
+                     n
+              FROM w
+            ),
+            p0 AS (
+              SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+              FROM (
+                SELECT n, unnest(list_transform(range(1, len(t)),
+                         i -> {'l': t[i], 'r': t[i+1]})) AS pr
+                FROM (SELECT string_split(s, chr(31)) AS t, n FROM vocab0)
+                WHERE len(t) >= 2
+              ) GROUP BY 1, 2
+            ),
+            top0 AS MATERIALIZED (
+              SELECT lhs, rhs, cnt FROM p0
+              ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+            ),
+            vocab1 AS MATERIALIZED (
+              SELECT replace(s, (SELECT lhs || chr(31) || rhs FROM top0),
+                                (SELECT lhs || rhs FROM top0)) AS s, n
+              FROM vocab0
+            ),
+            p1 AS (
+              SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+              FROM (
+                SELECT n, unnest(list_transform(range(1, len(t)),
+                         i -> {'l': t[i], 'r': t[i+1]})) AS pr
+                FROM (SELECT string_split(s, chr(31)) AS t, n FROM vocab1)
+                WHERE len(t) >= 2
+              ) GROUP BY 1, 2
+            ),
+            top1 AS MATERIALIZED (
+              SELECT lhs, rhs, cnt FROM p1
+              ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+            )
+            SELECT CAST(0 AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM top0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM top1
         """,
         "first_seen_stream": """
             SELECT user_key, event_sid, first_ts FROM (

@@ -102,6 +102,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pii_redact",
         "vocab_stats",
         "bpe_pairs",
+        "bpe_train",
         "kmeans",
         "dsir_weights",
         "mention_candidates",

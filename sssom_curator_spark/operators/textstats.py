@@ -35,6 +35,7 @@ __all__ = [
     "repetition_stats",
     "vocab_stats",
     "bpe_pair_counts",
+    "bpe_train",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -373,4 +374,95 @@ def bpe_pair_counts(
         .agg(F.sum("n").alias("cnt"))
         .orderBy(F.desc("cnt"), F.col("lhs").asc(), F.col("rhs").asc())
         .limit(top_k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """BPE tokenizer training: run ``n_merges`` greedy merge iterations
+    and return the learned merge table ``(merge_rank, lhs, rhs, cnt)`` —
+    rank 0 first. Each iteration picks the most frequent adjacent symbol
+    pair (ties to ``(lhs, rhs)`` ascending — fully deterministic) and
+    rewrites the vocabulary by merging that pair greedily left-to-right
+    (standard BPE apply: in ``aaa`` the merge ``a+a`` produces
+    ``[aa, a]``).
+
+    Representation: each word's symbol sequence is ONE string with
+    symbols joined by ``\x1f`` (a char the whitespace tokenizer can
+    never emit inside a token). The merge apply is then a literal
+    ``replace(s, lhs + SEP + rhs, lhs + rhs)`` — replace-all is
+    greedy-left-to-right non-overlapping in every engine, which IS the
+    BPE apply rule, so the whole trajectory is SQL-replayable (the
+    DuckDB oracle runs the same two iterations verbatim) and the Spark
+    side stays pure codegen with no higher-order fold.
+
+    Scale shape: the corpus is scanned ONCE, to build the distinct-word
+    frequency table; every iteration after that runs on the VOCABULARY
+    frame (Heaps-law bounded — caching it is the scale-right plan,
+    unlike a corpus cache). Per iteration the driver collects exactly
+    ONE row (the winning pair — the same bounded-state-per-round
+    discipline as the k-means centroids) and the rewritten vocabulary is
+    localCheckpointed so the plan does not grow with the merge count.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    sep = "\x1f"
+    words = df.select(F.explode(norm_words(F.col(text_col))).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.array_join(F.split("word", ""), sep).alias("s"), "n")
+        .localCheckpoint()
+    )
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        syms = F.split(F.col("s"), sep)
+        pairs = v.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("lhs"),
+                        F.element_at(syms, i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("p"),
+            "n",
+        )
+        return pairs.select("p.lhs", "p.rhs", "n").groupBy("lhs", "rhs").agg(
+            F.sum("n").alias("cnt")
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((rank, lhs, rhs, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(lhs + sep + rhs), F.lit(lhs + rhs)
+            ).alias("s"),
+            "n",
+        ).localCheckpoint()
+
+    schema = "merge_rank bigint, lhs string, rhs string, cnt bigint"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(merges, columns=["merge_rank", "lhs", "rhs", "cnt"]).astype(
+            {"merge_rank": "int64", "cnt": "int64"}
+        ),
+        schema=schema,
     )

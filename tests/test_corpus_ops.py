@@ -496,3 +496,76 @@ class TestSessionWindowBoundary:
             .collect()
         )
         assert sorted(r["n"] for r in rows) == [3]
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _py_bpe(texts, n_merges):
+        """Pure-python BPE replay (greedy left-to-right apply)."""
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            if t:
+                for w in t.strip().lower().split():
+                    vocab[w] += 1
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        for rank in range(n_merges):
+            counts = Counter()
+            for w, n in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += n
+            if not counts:
+                break
+            (lhs, rhs), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, lhs, rhs, cnt))
+            for w in syms:
+                s, out = syms[w], []
+                for sym in s:
+                    if out and out[-1] == lhs and sym == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(sym)
+                syms[w] = out
+        return merges
+
+    def test_matches_python_replay(self, spark):
+        from sssom_curator_spark.operators.textstats import bpe_train
+
+        texts = [
+            "the theme thesis",
+            "then the other theory",
+            "aaa aaaa banana bandana",
+            None,
+        ]
+        docs = spark.createDataFrame(
+            [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+        )
+        got = [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["cnt"])
+            for r in bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+        ]
+        want = self._py_bpe(texts, 5)
+        assert got == want
+
+    def test_greedy_left_to_right_overlap(self, spark):
+        """'aaa' under merge a+a must yield [aa, a], so the second
+        iteration's top pair becomes (aa, a)."""
+        from sssom_curator_spark.operators.textstats import bpe_train
+
+        docs = spark.createDataFrame([("d", "aaa aaa")], "doc_id string, text string")
+        rows = bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+        # counting sees both overlapping (a,a) positions in 'aaa' (x2 docs
+        # -> 4); the APPLY is non-overlapping, so iteration 2 sees [aa, a]
+        assert (rows[0]["lhs"], rows[0]["rhs"], rows[0]["cnt"]) == ("a", "a", 4)
+        assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["cnt"]) == ("aa", "a", 2)
+
+    def test_empty_corpus(self, spark):
+        from sssom_curator_spark.operators.textstats import bpe_train
+
+        docs = spark.createDataFrame([], "doc_id string, text string")
+        assert bpe_train(docs, n_merges=3).count() == 0
