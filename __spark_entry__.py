@@ -846,6 +846,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=2)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply: encode every document with a fixed 2-merge table
+    (t+h, th+e) — pure codegen chained literal replaces, no UDF/shuffle;
+    per-document token count and the joined symbol stream are pinned."""
+    from sssom_curator_spark.operators.textstats import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, [("t", "h"), ("th", "e")])
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", " ").alias("tokens_s"),
+    )
+
+
 def q_mention_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (JVM path): token n-gram explode + broadcast index join.
 
@@ -1393,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2039,6 +2055,31 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2
             ORDER BY cnt DESC, lhs ASC, rhs ASC
             LIMIT 40
+        """,
+        "bpe_encode": """
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                                       '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     flatten(list_transform(words, w ->
+                       string_split(
+                         replace(replace(
+                           array_to_string(list_transform(range(1, len(w) + 1),
+                                                          i -> substr(w, i, 1)),
+                                           chr(31)),
+                           't' || chr(31) || 'h', 'th'),
+                           'th' || chr(31) || 'e', 'the'),
+                         chr(31)))) AS toks
+              FROM t
+            )
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+                   array_to_string(toks, ' ') AS tokens_s
+            FROM e
         """,
         "bpe_train": """
             WITH w AS MATERIALIZED (

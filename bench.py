@@ -103,6 +103,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "vocab_stats",
         "bpe_pairs",
         "bpe_train",
+        "bpe_encode",
         "kmeans",
         "dsir_weights",
         "mention_candidates",

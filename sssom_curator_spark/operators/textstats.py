@@ -36,6 +36,7 @@ __all__ = [
     "vocab_stats",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -466,3 +467,35 @@ def bpe_train(
         ),
         schema=schema,
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from :func:`bpe_train`): tokenize
+    every document into its final symbol sequence and append ``out_col``
+    (array of symbols) plus ``n_bpe_tokens``.
+
+    Encoding is the same separator-string representation as training —
+    words become ``\\x1f``-joined char sequences, then each merge in rank
+    order is ONE literal ``replace`` (greedy left-to-right, the BPE apply
+    rule) — so a document encodes as pure whole-stage codegen: no UDF, no
+    join, no shuffle, and the plan depth grows linearly with the merge
+    count. Word boundaries are preserved by running the per-word rewrite
+    inside a ``transform`` over the word array; merge symbols never cross
+    words (BPE pre-tokenization contract).
+    """
+    sep = "\x1f"
+
+    def encode_word(w):
+        s = F.array_join(F.split(w, ""), sep)
+        for lhs, rhs in merges:
+            s = F.replace(s, F.lit(lhs + sep + rhs), F.lit(lhs + rhs))
+        return F.split(s, sep)
+
+    toks = F.flatten(F.transform(norm_words(F.col(text_col)), encode_word))
+    return df.withColumns({out_col: toks, "n_bpe_tokens": F.size(toks)})

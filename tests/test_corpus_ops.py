@@ -569,3 +569,47 @@ class TestBpeTrain:
 
         docs = spark.createDataFrame([], "doc_id string, text string")
         assert bpe_train(docs, n_merges=3).count() == 0
+
+
+class TestBpeEncode:
+    def test_encode_matches_train_replay(self, spark):
+        """Train 3 merges, encode with them: every word's symbols must
+        equal the python replay's final vocabulary entry."""
+        from sssom_curator_spark.operators.textstats import bpe_encode, bpe_train
+
+        texts = ["the theme then", "the other theory aaa"]
+        docs = spark.createDataFrame(
+            [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+        )
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+        ]
+        enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+
+        syms = {}
+        for t in texts:
+            for w in t.split():
+                syms[w] = list(w)
+        for lhs, rhs in merges:
+            for w in syms:
+                out = []
+                for sym in syms[w]:
+                    if out and out[-1] == lhs and sym == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(sym)
+                syms[w] = out
+        for i, t in enumerate(texts):
+            want = [s for w in t.split() for s in syms[w]]
+            assert enc[str(i)]["bpe_tokens"] == want, (t, enc[str(i)]["bpe_tokens"])
+            assert enc[str(i)]["n_bpe_tokens"] == len(want)
+
+    def test_no_merges_yields_chars(self, spark):
+        from sssom_curator_spark.operators.textstats import bpe_encode
+
+        docs = spark.createDataFrame([("d", "ab c"), ("e", None)],
+                                     "doc_id string, text string")
+        rows = {r["doc_id"]: r for r in bpe_encode(docs, []).collect()}
+        assert rows["d"]["bpe_tokens"] == ["a", "b", "c"]
+        assert rows["e"]["bpe_tokens"] == [] and rows["e"]["n_bpe_tokens"] == 0
