@@ -846,6 +846,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=2)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: floor-quantized micro-nat IDF
+    makes every score an exact integer product; deterministic
+    (score DESC, token ASC) ranking, window top-k per document."""
+    from sssom_curator_spark.operators.textstats import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=3)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE apply: encode every document with a fixed 2-merge table
     (t+h, th+e) — pure codegen chained literal replaces, no UDF/shuffle;
@@ -1409,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "tfidf_topk": q_tfidf_topk,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2055,6 +2066,34 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2
             ORDER BY cnt DESC, lhs ASC, rhs ASC
             LIMIT 40
+        """,
+        "tfidf_topk": """
+            WITH tf AS MATERIALIZED (
+              SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS token
+                FROM documents
+              ) GROUP BY doc_id, token
+            ),
+            dfreq AS MATERIALIZED (
+              SELECT token, count(*) AS df_docs,
+                     CAST(floor(ln(((SELECT count(*) FROM documents) + 1.0)
+                                   / (count(*) + 1)) * 1e6) AS BIGINT) AS idf_micro
+              FROM tf GROUP BY token
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+                     tf.tf * dfreq.idf_micro AS score_micro,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * dfreq.idf_micro DESC, tf.token ASC) AS rn
+              FROM tf JOIN dfreq USING (token)
+            )
+            SELECT doc_id, token, tf, CAST(df_docs AS BIGINT) AS df_docs,
+                   score_micro
+            FROM scored WHERE rn <= 3
         """,
         "bpe_encode": """
             WITH t AS MATERIALIZED (

@@ -37,6 +37,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "tfidf_topk",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -499,3 +500,73 @@ def bpe_encode(
 
     toks = F.flatten(F.transform(norm_words(F.col(text_col)), encode_word))
     return df.withColumns({out_col: toks, "n_bpe_tokens": F.size(toks)})
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the classic relevance
+    signal (keyword extraction, topic labeling, search-index feeding).
+
+    Returns ``(id_col, token, tf, df_docs, score_micro)`` with at most
+    ``k`` rows per document, ranked by ``(score DESC, token ASC)``.
+    ``score_micro = tf * floor(ln((n_docs+1)/(df_docs+1)) * 1e6)`` — the
+    IDF is FLOOR-quantized to integer micro-nats (same cross-engine
+    discipline as the DSIR weights: identical IEEE doubles floor
+    identically everywhere, and per-token scores become exact integer
+    products, immune to summation-order effects). Smoothed +1 IDF keeps
+    corpus-universal tokens at a small negative score instead of NaN.
+
+    Scale shape: term frequencies are one ``groupBy(doc, token)`` (hub
+    tokens split across docs, so no hot key); the document-frequency
+    dimension derives from that frame with a second token-keyed aggregate
+    whose map-side partials collapse repeats; the scoring join keys on
+    the token (bounded dim — AQE broadcasts when it fits, skew-splits
+    when a stopword is hot); the top-k is a per-document window over
+    doc-vocabulary-sized groups. The corpus total is the ONE
+    driver-collected scalar. No corpus cache — the token stream is
+    recomputed for the dimension pass, per the family discipline.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+
+    def tf_frame() -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(norm_words(F.col(text_col))).alias("token"),
+        )
+        return toks.groupBy("_doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    tf = tf_frame()
+    dfreq = (
+        tf_frame()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .withColumn(
+            "idf_micro",
+            F.floor(F.log((F.lit(float(n_docs + 1))) / (F.col("df_docs") + 1)) * 1e6)
+            .cast("long"),
+        )
+    )
+    scored = tf.join(dfreq, on="token").select(
+        F.col("_doc").alias(id_col),
+        "token",
+        "tf",
+        "df_docs",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

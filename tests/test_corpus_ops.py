@@ -613,3 +613,45 @@ class TestBpeEncode:
         rows = {r["doc_id"]: r for r in bpe_encode(docs, []).collect()}
         assert rows["d"]["bpe_tokens"] == ["a", "b", "c"]
         assert rows["e"]["bpe_tokens"] == [] and rows["e"]["n_bpe_tokens"] == 0
+
+
+class TestTfidfTopk:
+    def test_hand_example(self, spark):
+        import math
+
+        from sssom_curator_spark.operators.textstats import tfidf_topk
+
+        docs = spark.createDataFrame(
+            [
+                ("d1", "apple apple banana"),
+                ("d2", "banana cherry"),
+                ("d3", "cherry cherry cherry"),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            (r["doc_id"], r["token"]): r for r in tfidf_topk(docs, k=2).collect()
+        }
+        idf = lambda df_docs: math.floor(math.log(4.0 / (df_docs + 1)) * 1e6)
+        # d1: apple tf=2 df=1 beats banana tf=1 df=2
+        assert rows[("d1", "apple")]["score_micro"] == 2 * idf(1)
+        assert rows[("d1", "banana")]["score_micro"] == 1 * idf(2)
+        assert ("d2", "banana") in rows and ("d2", "cherry") in rows
+        # per-doc cap at k
+        from collections import Counter
+
+        per_doc = Counter(d for d, _ in rows)
+        assert all(v <= 2 for v in per_doc.values())
+
+    def test_deterministic_tie_order(self, spark):
+        from sssom_curator_spark.operators.textstats import tfidf_topk
+
+        docs = spark.createDataFrame(
+            [("d1", "zz aa"), ("d2", "qq")], "doc_id string, text string"
+        )
+        rows = [
+            (r["doc_id"], r["token"])
+            for r in tfidf_topk(docs, k=1).orderBy("doc_id").collect()
+        ]
+        # zz and aa tie on score in d1 -> token-ascending wins
+        assert rows == [("d1", "aa"), ("d2", "qq")]
