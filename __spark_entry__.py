@@ -846,6 +846,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=2)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (named in the brief as a Spark-missing operator):
+    every event picks up the most recent at-or-before 'click' value for
+    its user — union+window idiom, ONE key shuffle; the oracle is
+    DuckDB's native ASOF JOIN."""
+    from sssom_curator_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(left, right, on="user_id")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords: floor-quantized micro-nat IDF
     makes every score an exact integer product; deterministic
@@ -1420,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "tfidf_topk": q_tfidf_topk,
+        "asof_join": q_asof_join,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2066,6 +2082,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2
             ORDER BY cnt DESC, lhs ASC, rhs ASC
             LIMIT 40
+        """,
+        "asof_join": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events),
+            r AS MATERIALIZED (
+              -- collapse equal-(user, ts) clicks to the max value, like
+              -- the operator's deterministic struct-max winner
+              SELECT user_id, ts, max(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT l.user_id, l.ts, l.event_id, r.click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "tfidf_topk": """
             WITH tf AS MATERIALIZED (

@@ -74,6 +74,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "window_topn",
         "tumbling_window",
         "session_window",
+        "asof_join",
         "connected_components",
         "exact_dedup_docs",
         "minhash_lsh",

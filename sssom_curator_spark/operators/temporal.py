@@ -1,0 +1,89 @@
+"""Temporal joins: the as-of join Spark lacks as a built-in.
+
+An as-of join attaches to every left row the LATEST right row with
+``right_ts <= left_ts`` for the same key — the canonical event-to-
+slowly-changing-dimension lookup (price as of trade time, profile as of
+event time). Named by the task brief as a custom operator to express
+Spark-first; no reference counterpart (the reference has no temporal
+data).
+
+Implementation is the scalable UNION + WINDOW idiom, not a per-key UDF
+and not a range cross-join: both sides are tagged and unioned on the
+key, one window pass ordered by ``(ts, side)`` carries each right
+payload forward with ``last(ignorenulls)``, and left rows are filtered
+back out. ONE shuffle total (the window's key partition); right rows
+with equal ``(key, ts)`` are pre-collapsed to a deterministic
+struct-max winner so the result never depends on partitioning. The
+DuckDB oracle replays it with the engine's native ``ASOF JOIN``.
+
+Skew note: the window partitions by the join key, so one pathological
+key (a single user producing a large share of all events) serializes on
+one reducer. The standard mitigation — splitting hot keys into time
+ranges and carrying the last value across range boundaries — composes
+on top of this operator; at the corpus design point keys are
+users/entities whose per-key cardinality is bounded by human behavior,
+not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """All left columns plus every non-key right payload column (NULL
+    when no right row is at-or-before the left timestamp). Right payload
+    columns must not collide with left column names — rename upstream.
+    """
+    key = on
+    rpay = [c for c in right.columns if c not in (key, right_ts)]
+    collide = set(rpay) & set(left.columns)
+    if collide:
+        raise ValueError(f"right payload columns collide with left: {sorted(collide)}")
+
+    # collapse equal-(key, ts) right rows to one deterministic winner:
+    # the struct max compares payload fields in order
+    r_uniq = right.groupBy(key, F.col(right_ts).alias("_ts")).agg(
+        F.max(F.struct(*rpay)).alias("_p")
+    )
+
+    lpay = [c for c in left.columns if c != key]
+    l_side = left.select(
+        key,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lpay).alias("_l"),
+        F.lit(None).cast(r_uniq.schema["_p"].dataType).alias("_p"),
+    )
+    r_side = r_uniq.select(
+        key,
+        "_ts",
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_side.schema["_l"].dataType).alias("_l"),
+        "_p",
+    )
+    # right rows at the same ts sort BEFORE left rows (asof is <=)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).withColumn(
+        "_pc", F.last("_p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        key,
+        *[F.col(f"_l.{c}").alias(c) for c in lpay],
+        *[F.col(f"_pc.{c}").alias(c) for c in rpay],
+    )
+    return out

@@ -1,0 +1,81 @@
+"""As-of join (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:10:00", "e1"),
+                (1, "2024-01-01 00:30:00", "e2"),
+                (2, "2024-01-01 00:05:00", "e3"),
+            ],
+            "user_id int, ts_s string, event_id string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+        right = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 10.0),
+                (1, "2024-01-01 00:30:00", 20.0),  # equal to e2's ts -> picked (<=)
+                (2, "2024-01-01 00:06:00", 99.0),  # after e3 -> e3 gets NULL
+            ],
+            "user_id int, ts_s string, v double",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v")
+        return left, right
+
+    def test_hand_case(self, spark):
+        from sssom_curator_spark.operators.temporal import asof_join
+
+        left, right = self._frames(spark)
+        got = {r["event_id"]: r["v"] for r in asof_join(left, right, on="user_id").collect()}
+        assert got == {"e1": 10.0, "e2": 20.0, "e3": None}
+
+    def test_equal_ts_right_rows_pick_struct_max(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.temporal import asof_join
+
+        left, _ = self._frames(spark)
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 5.0), (1, "2024-01-01 00:00:00", 7.0)],
+            "user_id int, ts_s string, v double",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v")
+        out = asof_join(left, right, on="user_id")
+        got = {r["event_id"]: r["v"] for r in out.collect()}
+        assert got["e1"] == 7.0  # deterministic max, not partition luck
+        again = {
+            r["event_id"]: r["v"]
+            for r in asof_join(left.repartition(5), right.repartition(3),
+                               on="user_id").collect()
+        }
+        assert again == got
+
+    def test_collision_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.temporal import asof_join
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right.withColumnRenamed("v", "event_id"), on="user_id")
+
+    def test_one_shuffle_plan(self, spark):
+        """Pin the scale shape: exactly ONE hash exchange (the window's
+        key partition) — no join exchanges, no cross product."""
+        from sssom_curator_spark.operators.temporal import asof_join
+
+        left, right = self._frames(spark)
+        plan = (
+            asof_join(left, right, on="user_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        # window exchange + the right-side pre-dedup aggregate exchange
+        assert len(exchanges) <= 2
