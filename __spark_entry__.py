@@ -861,6 +861,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, on="user_id")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (brief-named Spark-missing operator): events (epoch
+    seconds) against 40 synthesized maintenance windows — bucketized
+    equi-join on a 2h grid + exact containment filter, never a BNLJ;
+    oracle is the plain SQL range predicate."""
+    from sssom_curator_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+        .cast("long")
+        .alias("t"),
+    )
+    iv = spark.range(0, 40).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("window_id"),
+        (F.col("id") * 7200).alias("w_start"),
+        (F.col("id") * 7200 + 3600).alias("w_end"),
+    )
+    return range_join(
+        points, iv, point_col="t", start_col="w_start", end_col="w_end",
+        bucket_width=7200,
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords: floor-quantized micro-nat IDF
     makes every score an exact integer product; deterministic
@@ -1436,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2094,6 +2120,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.ts, l.event_id, r.click_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            WITH p AS (
+              -- floor, not cast: Spark's unix_timestamp TRUNCATES
+              -- sub-second parts while a DuckDB double->BIGINT cast rounds
+              SELECT event_id,
+                     CAST(floor(epoch(ts))
+                          - epoch(TIMESTAMP '2024-01-01 00:00:00')
+                          AS BIGINT) AS t
+              FROM events
+            ),
+            iv AS (
+              SELECT 'w' || CAST(i AS VARCHAR) AS window_id,
+                     CAST(i * 7200 AS BIGINT) AS w_start,
+                     CAST(i * 7200 + 3600 AS BIGINT) AS w_end
+              FROM range(0, 40) r(i)
+            )
+            SELECT p.event_id, p.t, iv.window_id, iv.w_start, iv.w_end
+            FROM p JOIN iv ON p.t >= iv.w_start AND p.t < iv.w_end
         """,
         "tfidf_topk": """
             WITH tf AS MATERIALIZED (

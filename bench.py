@@ -75,6 +75,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "tumbling_window",
         "session_window",
         "asof_join",
+        "range_join",
         "connected_components",
         "exact_dedup_docs",
         "minhash_lsh",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -87,3 +87,51 @@ def asof_join(
         *[F.col(f"_pc.{c}").alias(c) for c in rpay],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range (interval-containment) join — the second temporal join the
+    brief names as missing from Spark: every point row pairs with every
+    interval row satisfying ``start <= point < end`` (inner semantics; a
+    point inside k intervals emits k rows).
+
+    Naively this is a non-equi join — Spark plans it as
+    BroadcastNestedLoop or a cartesian product, the classic scale trap.
+    The bucketized idiom instead: each interval EXPLODES onto the coarse
+    grid cells it overlaps (``floor(start/w) .. floor(end/w)``), points
+    map to their one cell, the join becomes an EQUI-join on the cell id,
+    and an exact containment filter prunes grid false positives. One
+    shuffle keyed on the cell; the explode factor is ``span/width + 1``
+    per interval — pick ``bucket_width`` near the typical interval span
+    so it stays O(1). A cell crowded with intervals is a genuine hot key;
+    AQE's skew split handles it, and narrowing the grid bounds it.
+
+    Columns: result = all point columns + all interval columns; names
+    must not collide (rename upstream — same contract as
+    :func:`asof_join`).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    collide = set(points.columns) & set(intervals.columns)
+    if collide:
+        raise ValueError(f"column collision between sides: {sorted(collide)}")
+    p = F.col(point_col)
+    s, e = F.col(start_col), F.col(end_col)
+    w = F.lit(bucket_width)
+    iexp = intervals.withColumn(
+        "_cell", F.explode(F.sequence(F.floor(s / w), F.floor(e / w)))
+    )
+    return (
+        points.withColumn("_cell", F.floor(p / w))
+        .join(iexp, on="_cell")
+        .filter((p >= s) & (p < e))
+        .drop("_cell")
+    )

@@ -79,3 +79,56 @@ class TestAsofJoin:
         ]
         # window exchange + the right-side pre-dedup aggregate exchange
         assert len(exchanges) <= 2
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        points = spark.createDataFrame(
+            [("p1", 5), ("p2", 10), ("p3", 25), ("p4", 99)],
+            "pid string, t long",
+        )
+        intervals = spark.createDataFrame(
+            [("i1", 0, 10), ("i2", 5, 30), ("i3", 90, 95)],
+            "iid string, s long, e long",
+        )
+        return points, intervals
+
+    def test_containment_and_multiplicity(self, spark):
+        from sssom_curator_spark.operators.temporal import range_join
+
+        points, intervals = self._frames(spark)
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, point_col="t", start_col="s", end_col="e",
+                bucket_width=8,
+            ).collect()
+        )
+        # p1(5): i1 [0,10) + i2 [5,30); p2(10): i2 only (end exclusive);
+        # p3(25): i2; p4(99): nothing (i3 ends at 95)
+        assert got == [("p1", "i1"), ("p1", "i2"), ("p2", "i2"), ("p3", "i2")]
+
+    def test_no_bnlj_in_plan(self, spark):
+        from sssom_curator_spark.operators.temporal import range_join
+
+        points, intervals = self._frames(spark)
+        plan = (
+            range_join(points, intervals, point_col="t", start_col="s",
+                       end_col="e", bucket_width=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bad_width_and_collision(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.temporal import range_join
+
+        points, intervals = self._frames(spark)
+        with pytest.raises(ValueError, match="positive"):
+            range_join(points, intervals, point_col="t", start_col="s",
+                       end_col="e", bucket_width=0)
+        with pytest.raises(ValueError, match="collision"):
+            range_join(points, intervals.withColumnRenamed("iid", "pid"),
+                       point_col="t", start_col="s", end_col="e", bucket_width=8)
