@@ -886,6 +886,24 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade hour -> day -> week over events; the
+    oracle computes each level DIRECTLY from raw events, so a value match
+    proves the partial-reaggregation cascade is lossless (the whole point
+    of the hypertable shape: coarse levels never rescan the corpus)."""
+    from sssom_curator_spark.operators.temporal import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, levels=("hour", "day", "week"))
+    return out.select(
+        "level",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "key",
+        "n",
+        "sum_micro",
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords: floor-quantized micro-nat IDF
     makes every score an exact integer product; deterministic
@@ -1462,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2139,6 +2158,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.event_id, p.t, iv.window_id, iv.w_start, iv.w_end
             FROM p JOIN iv ON p.t >= iv.w_start AND p.t < iv.w_end
+        """,
+        "hypertable_rollup": """
+            WITH lv AS (
+              SELECT 'hour' AS level, date_trunc('hour', ts) AS b, event_type AS key,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+              FROM events GROUP BY 2, 3
+              UNION ALL
+              SELECT 'day', date_trunc('day', ts), event_type, count(*),
+                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+              FROM events GROUP BY 2, 3
+              UNION ALL
+              SELECT 'week', date_trunc('week', ts), event_type, count(*),
+                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+              FROM events GROUP BY 2, 3
+            )
+            SELECT level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_s, key,
+                   n, sum_micro
+            FROM lv
         """,
         "tfidf_topk": """
             WITH tf AS MATERIALIZED (

@@ -76,6 +76,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "session_window",
         "asof_join",
         "range_join",
+        "hypertable_rollup",
         "connected_components",
         "exact_dedup_docs",
         "minhash_lsh",

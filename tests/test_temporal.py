@@ -132,3 +132,46 @@ class TestRangeJoin:
         with pytest.raises(ValueError, match="collision"):
             range_join(points, intervals.withColumnRenamed("iid", "pid"),
                        point_col="t", start_col="s", end_col="e", bucket_width=8)
+
+
+class TestHypertableRollup:
+    def test_cascade_matches_direct_and_scans_once(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.temporal import hypertable_rollup
+
+        ev = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:10:00", 1.5),
+                ("a", "2024-01-01 00:40:00", 2.5),
+                ("a", "2024-01-01 05:00:00", 1.0),
+                ("b", "2024-01-02 00:00:00", 4.25),
+            ],
+            "event_type string, ts_s string, value double",
+        ).select("event_type", F.to_timestamp("ts_s").alias("ts"), "value")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            ev.write.mode("overwrite").parquet(f"{d}/ev")
+            ev = spark.read.parquet(f"{d}/ev")
+            out = hypertable_rollup(ev, levels=("hour", "day"))
+            out.count()  # materialize while the temp files exist
+            rows = {
+                (r["level"], str(r["bucket_start"]), r["key"]): (r["n"], r["sum_micro"])
+                for r in out.collect()
+            }
+            assert rows[("hour", "2024-01-01 00:00:00", "a")] == (2, 4_000_000)
+            assert rows[("day", "2024-01-01 00:00:00", "a")] == (3, 5_000_000)
+            assert rows[("day", "2024-01-02 00:00:00", "b")] == (1, 4_250_000)
+            # the scale property: levels are checkpointed partials — the
+            # raw parquet source appears ZERO times in the union's plan
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Scan parquet") == 0
+
+    def test_empty_levels_raises(self, spark):
+        from sssom_curator_spark.operators.temporal import hypertable_rollup
+
+        with pytest.raises(ValueError):
+            hypertable_rollup(spark.range(1).selectExpr(
+                "timestamp('2024-01-01') ts", "'a' event_type", "1.0 value"
+            ), levels=())
