@@ -886,6 +886,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmins_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mins cardinality sketch per event_type (distinct user_ids):
+    aggregate-only, map-side-combining, merge-by-min — deterministic
+    enough that DuckDB replays the estimate bit-for-bit."""
+    from sssom_curator_spark.operators.sketches import kmins_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmins_distinct(ev, group_col="event_type", value_col="user_id")
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate cascade hour -> day -> week over events; the
     oracle computes each level DIRECTLY from raw events, so a value match
@@ -1481,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
+        "kmins_distinct": q_kmins_distinct,
         "dup_span_stats": q_dup_span_stats,
         "crawl_merge": q_crawl_merge,
         "session_window": q_session_window,
@@ -2158,6 +2169,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.event_id, p.t, iv.window_id, iv.w_start, iv.w_end
             FROM p JOIN iv ON p.t >= iv.w_start AND p.t < iv.w_end
+        """,
+        "kmins_distinct": """
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(floor((16.0 / (
+                     (('0x' || min(substr(md5('0' || '|' || CAST(user_id AS VARCHAR)), 1, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('0' || '|' || CAST(user_id AS VARCHAR)), 9, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('0' || '|' || CAST(user_id AS VARCHAR)), 17, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('0' || '|' || CAST(user_id AS VARCHAR)), 25, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('1' || '|' || CAST(user_id AS VARCHAR)), 1, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('1' || '|' || CAST(user_id AS VARCHAR)), 9, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('1' || '|' || CAST(user_id AS VARCHAR)), 17, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('1' || '|' || CAST(user_id AS VARCHAR)), 25, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('2' || '|' || CAST(user_id AS VARCHAR)), 1, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('2' || '|' || CAST(user_id AS VARCHAR)), 9, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('2' || '|' || CAST(user_id AS VARCHAR)), 17, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('2' || '|' || CAST(user_id AS VARCHAR)), 25, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('3' || '|' || CAST(user_id AS VARCHAR)), 1, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('3' || '|' || CAST(user_id AS VARCHAR)), 9, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('3' || '|' || CAST(user_id AS VARCHAR)), 17, 8)))::UBIGINT + 1) / 4294967296.0
+                     + (('0x' || min(substr(md5('3' || '|' || CAST(user_id AS VARCHAR)), 25, 8)))::UBIGINT + 1) / 4294967296.0
+                   ) - 1.0) * 1e6) AS BIGINT) AS distinct_est_micro
+            FROM events GROUP BY event_type
         """,
         "hypertable_rollup": """
             WITH lv AS (

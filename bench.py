@@ -77,6 +77,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "asof_join",
         "range_join",
         "hypertable_rollup",
+        "kmins_distinct",
         "connected_components",
         "exact_dedup_docs",
         "minhash_lsh",
