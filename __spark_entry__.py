@@ -1815,7 +1815,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_quality": f"""
             WITH base AS (
-              SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS w FROM documents
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                                       '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
             ),
             feat AS (
               SELECT doc_id,
@@ -1981,8 +1985,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             m AS (SELECT *, min(n_tokens / t) OVER () AS c FROM j)
             SELECT lang, t AS target_frac,
-                   floor(c * t / n_tokens * 1e9) / 1e9 AS keep_rate,
-                   CAST(floor(c * t) AS BIGINT) AS kept_size
+                   floor(c * t / n_tokens * 1e9 + 0.5) / 1e9 AS keep_rate,
+                   CAST(floor(c * t + 0.5) AS BIGINT) AS kept_size
             FROM m
         """,
         "pack_sequences": """
@@ -2196,15 +2200,15 @@ def oracle_sql() -> dict[str, str]:
             WITH lv AS (
               SELECT 'hour' AS level, date_trunc('hour', ts) AS b, event_type AS key,
                      count(*) AS n,
-                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
               FROM events GROUP BY 2, 3
               UNION ALL
               SELECT 'day', date_trunc('day', ts), event_type, count(*),
-                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
               FROM events GROUP BY 2, 3
               UNION ALL
               SELECT 'week', date_trunc('week', ts), event_type, count(*),
-                     CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
               FROM events GROUP BY 2, 3
             )
             SELECT level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_s, key,
@@ -2249,7 +2253,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             e AS (
               SELECT doc_id,
-                     flatten(list_transform(words, w ->
+                     flatten(list_transform(
+                       list_transform(words, w0 -> replace(w0, chr(31), '')), w ->
                        string_split(
                          replace(replace(
                            array_to_string(list_transform(range(1, len(w) + 1),
@@ -2275,10 +2280,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             vocab0 AS MATERIALIZED (
               SELECT array_to_string(
-                       list_transform(range(1, len(word) + 1),
-                                      i -> substr(word, i, 1)), chr(31)) AS s,
+                       list_transform(range(1, len(cw) + 1),
+                                      i -> substr(cw, i, 1)), chr(31)) AS s,
                      n
-              FROM w
+              FROM (SELECT replace(word, chr(31), '') AS cw, n FROM w)
             ),
             p0 AS (
               SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(n) AS BIGINT) AS cnt

@@ -91,13 +91,16 @@ def canonicalize_url(col: Column | str) -> Column:
 
     path_norm = F.regexp_replace(F.coalesce(_part(u, "PATH"), F.lit("")), r"/+$", "")
 
+    from functools import reduce
+
     keep = F.array_sort(
         F.filter(
             F.split(F.coalesce(_part(u, "QUERY"), F.lit("")), "&"),
-            lambda p: (p != "")
-            & ~p.startswith(TRACKING_PREFIXES[0])
-            & ~p.startswith(TRACKING_PREFIXES[1])
-            & ~p.startswith(TRACKING_PREFIXES[2]),
+            lambda p: reduce(
+                lambda acc, pref: acc & ~p.startswith(pref),
+                TRACKING_PREFIXES,
+                p != "",
+            ),
         )
     )
     query_norm = F.when(
@@ -174,7 +177,10 @@ def url_dedup(
         winners,
         on=[
             tagged["_curl"] == winners["_curl"],
-            F.col(key) == F.col("_w._k"),
+            # eqNullSafe: a NULL winning key (struct minima treat NULL as
+            # smallest) must still match its own row — plain == is NULL
+            # there and would silently DROP the whole group
+            F.col(key).eqNullSafe(F.col("_w._k")),
             F.xxhash64(F.struct(*[tagged[c] for c in no_maps])) == F.col("_w._h"),
         ],
         how="left_semi",
@@ -317,7 +323,9 @@ def crawl_merge(
         winners,
         on=[
             tagged["_curl"] == winners["_curl"],
-            F.col(ts_col) == F.col("_w._ts"),
+            # eqNullSafe: all-NULL timestamps for a URL must still keep a
+            # row (plain == would drop the whole group)
+            F.col(ts_col).eqNullSafe(F.col("_w._ts")),
             F.xxhash64(F.struct(*[tagged[c] for c in no_maps])) == F.col("_w._h"),
         ],
         how="left_semi",

@@ -37,10 +37,18 @@ __all__ = [
 
 def hex_threshold(fraction: float) -> str:
     """``fraction`` of the 32-bit key space as an 8-hex-char literal —
-    the comparison constant both Spark and the SQL oracle embed."""
+    the comparison constant both Spark and the SQL oracle embed.
+
+    ``fraction=1.0`` returns ``"g"``: every 8-hex key compares strictly
+    below it (hex digits stop at ``f``), so keep-all really keeps ALL
+    rows — a clamped ``"ffffffff"`` under the strict ``<`` would drop
+    the ~1-in-4.3B rows hashing exactly to it (guaranteed losses at the
+    100 TB design point)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * (1 << 32)), (1 << 32) - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (1 << 32)), "08x")
 
 
 def unit_hex(col: Column | str, *, salt: str) -> Column:
@@ -204,9 +212,10 @@ def mixture_weights(
     shares are normalized in PYTHON and embedded as literals, and both
     engines evaluate the same IEEE-double expressions in the same shape,
     so the DuckDB oracle replays rates exactly; ``keep_rate`` is
-    FLOOR-quantized at 1e-9 (floor of an identical double is exact
-    everywhere — no rounding-mode coupling, and an exact rate of 1.0
-    stays 1.0).
+    nearest-quantized at 1e-9 via ``floor(x*1e9 + 0.5)`` — pure double
+    arithmetic, exact everywhere (no decimal rounding-mode coupling),
+    and the binding group's rate lands on exactly 1.0 despite the
+    ``(size/t)*t/size`` float dip.
     """
     import pandas as pd
 
@@ -226,9 +235,12 @@ def mixture_weights(
     )
     c = F.min(F.col(size_col) / F.col("_t")).over(everything)
     q = float(10 ** round_scale)
+    # nearest-quantization via floor(x*q + 0.5): pure double arithmetic,
+    # identical in every engine (unlike decimal round()), and it repairs
+    # the binding group's (size/t)*t/size float dip below exact 1.0
     return joined.select(
         group_col,
         F.col("_t").alias("target_frac"),
-        (F.floor(c * F.col("_t") / F.col(size_col) * q) / q).alias("keep_rate"),
-        F.floor(c * F.col("_t")).cast("long").alias("kept_size"),
+        (F.floor(c * F.col("_t") / F.col(size_col) * q + 0.5) / q).alias("keep_rate"),
+        F.floor(c * F.col("_t") + 0.5).cast("long").alias("kept_size"),
     )

@@ -51,6 +51,11 @@ def asof_join(
     if collide:
         raise ValueError(f"right payload columns collide with left: {sorted(collide)}")
 
+    # asof semantics never match NULLs (right_ts <= left_ts is UNKNOWN,
+    # and the key equi-condition fails on NULL) — drop unmatched right
+    # rows up front so a NULL-ts row can't sort first in the window and
+    # leak its payload; DuckDB's native ASOF JOIN (the oracle) agrees.
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     # collapse equal-(key, ts) right rows to one deterministic winner:
     # the struct max compares payload fields in order
     r_uniq = right.groupBy(key, F.col(right_ts).alias("_ts")).agg(
@@ -79,7 +84,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_side.unionByName(r_side).withColumn(
-        "_pc", F.last("_p", ignorenulls=True).over(w)
+        "_pc",
+        # a NULL left key or ts can never asof-match anything
+        F.when(
+            F.col(key).isNotNull() & F.col("_ts").isNotNull(),
+            F.last("_p", ignorenulls=True).over(w),
+        ),
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         key,
@@ -179,7 +189,12 @@ def hypertable_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col(value_col) * 1e6).cast("long")).alias("sum_micro"),
+            # floor(x + 0.5): nearest-quantization as pure double
+            # arithmetic — decimal round() differs between engines on
+            # half-boundaries (Spark HALF_UP vs shortest-repr rounding)
+            F.sum(F.floor(F.col(value_col) * 1e6 + 0.5).cast("long")).alias(
+                "sum_micro"
+            ),
         )
         .localCheckpoint()
     )

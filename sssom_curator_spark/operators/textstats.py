@@ -72,24 +72,36 @@ def norm_words(col: Column) -> Column:
 
 
 def quality_features(df: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio features per document."""
+    """Length / punctuation / stopword-ratio features per document.
+
+    ``n_words`` counts NON-EMPTY words (``norm_words``): Spark's split of
+    an empty string yields ``['']``, which would score empty/whitespace
+    documents as one-word documents and dead-code the zero guards.
+    ``mean_word_len`` divides the NON-WHITESPACE char count by the word
+    count, so newline/indentation-heavy pages (routine in web text) do
+    not inflate it. ``punct_ratio`` counts ``[^\\w\\s]`` with the
+    JVM's ASCII ``\\w`` — a documented contract shared bit-for-bit with
+    the RE2-based oracle; non-ASCII letters count as punctuation, so
+    tune the downstream punct gate per corpus before applying it to
+    non-ASCII languages."""
     c = F.col(text_col)
-    words = _words(c)
+    words = norm_words(c)
     n_words = F.size(words)
     stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
-    n_chars = F.length(c)
+    n_chars = F.length(F.coalesce(c, F.lit("")))
+    n_wchars = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", ""))
     # count = length delta under single-char-pattern removal — identical
     # to size(regexp_extract_all) (every match is exactly one char, and
     # the DuckDB oracle's len(regexp_extract_all) agrees) without
     # materializing a match array per document
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"[^\w\s]", ""))
     return df.withColumns(
         {
             "n_chars_q": n_chars,
             "n_words": n_words,
             "mean_word_len": stable_round(
-                F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0)), 4
+                F.when(n_words > 0, n_wchars / n_words).otherwise(F.lit(0.0)), 4
             ),
             "punct_ratio": stable_round(
                 F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
@@ -127,7 +139,7 @@ def langid_heuristic(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     the four filters and a literal-map lookup compiles to a linear scan
     of all entries per word, so "one pass" buys nothing. Keep this shape.
     """
-    words = _words(F.col(text_col))
+    words = norm_words(F.col(text_col))  # non-empty words only
     n = F.size(words)
     scores = []
     for lang, profile in sorted(LANG_PROFILES.items()):
@@ -394,8 +406,10 @@ def bpe_train(
     ``[aa, a]``).
 
     Representation: each word's symbol sequence is ONE string with
-    symbols joined by ``\x1f`` (a char the whitespace tokenizer can
-    never emit inside a token). The merge apply is then a literal
+    symbols joined by ``\x1f``; the separator char itself is STRIPPED
+    from tokens first (it is not whitespace, so raw crawl text can
+    legally carry it — unstripped it would inject phantom empty
+    symbols). The merge apply is then a literal
     ``replace(s, lhs + SEP + rhs, lhs + rhs)`` — replace-all is
     greedy-left-to-right non-overlapping in every engine, which IS the
     BPE apply rule, so the whole trajectory is SQL-replayable (the
@@ -418,7 +432,12 @@ def bpe_train(
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.array_join(F.split("word", ""), sep).alias("s"), "n")
+        .select(
+            F.array_join(
+                F.split(F.replace(F.col("word"), F.lit(sep), F.lit("")), ""), sep
+            ).alias("s"),
+            "n",
+        )
         .localCheckpoint()
     )
 
@@ -488,12 +507,14 @@ def bpe_encode(
     join, no shuffle, and the plan depth grows linearly with the merge
     count. Word boundaries are preserved by running the per-word rewrite
     inside a ``transform`` over the word array; merge symbols never cross
-    words (BPE pre-tokenization contract).
+    words (BPE pre-tokenization contract). The ``\x1f`` separator char
+    is stripped from tokens first, mirroring :func:`bpe_train`.
     """
     sep = "\x1f"
 
     def encode_word(w):
-        s = F.array_join(F.split(w, ""), sep)
+        # strip the separator char (legal in crawl tokens) before joining
+        s = F.array_join(F.split(F.replace(w, F.lit(sep), F.lit("")), ""), sep)
         for lhs, rhs in merges:
             s = F.replace(s, F.lit(lhs + sep + rhs), F.lit(lhs + rhs))
         return F.split(s, sep)

@@ -655,3 +655,58 @@ class TestTfidfTopk:
         ]
         # zz and aa tie on score in d1 -> token-ascending wins
         assert rows == [("d1", "aa"), ("d2", "qq")]
+
+
+class TestQualityFeatureRegressions:
+    def test_empty_and_whitespace_docs_score_zero_words(self, spark):
+        from sssom_curator_spark.operators.textstats import quality_score
+
+        docs = spark.createDataFrame(
+            [("e", ""), ("w", "   \n\t "), ("n", None)],
+            "doc_id string, text string",
+        )
+        rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+        for d in ("e", "w", "n"):
+            assert rows[d]["n_words"] == 0
+            assert rows[d]["mean_word_len"] == 0.0
+
+    def test_mean_word_len_ignores_whitespace_runs(self, spark):
+        from sssom_curator_spark.operators.textstats import quality_features
+
+        docs = spark.createDataFrame(
+            [("d", "hi\n\n\n   there")], "doc_id string, text string"
+        )
+        r = quality_features(docs).collect()[0]
+        assert r["n_words"] == 2
+        assert r["mean_word_len"] == round((2 + 5) / 2, 4)
+
+
+class TestBpeSeparatorStripping:
+    def test_unit_separator_char_in_tokens(self, spark):
+        from sssom_curator_spark.operators.textstats import bpe_encode
+
+        docs = spark.createDataFrame(
+            [("d", "a\x1fb ab")], "doc_id string, text string"
+        )
+        rows = bpe_encode(docs, []).collect()[0]
+        # the \x1f inside the token is stripped, not a phantom symbol
+        assert rows["bpe_tokens"] == ["a", "b", "a", "b"]
+        assert rows["n_bpe_tokens"] == 4
+
+
+class TestUrlDedupNullKeyFallback:
+    def test_map_fallback_keeps_null_key_group(self, spark):
+        """A NULL url in the map-column fallback path must still keep
+        exactly one row of its canonical group (plain == on the NULL
+        winner key dropped the whole group)."""
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.functions.url_ops import url_dedup
+
+        df = spark.createDataFrame(
+            [(None, "c1"), (None, "c2"), ("http://a.com/x", "c3")],
+            "url string, crawl string",
+        ).withColumn("headers", F.create_map(F.lit("k"), F.col("crawl")))
+        kept = url_dedup(df).collect()
+        urls = sorted((r["url"] or "<null>") for r in kept)
+        assert urls == ["<null>", "http://a.com/x"]

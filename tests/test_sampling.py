@@ -69,7 +69,10 @@ class TestDeterministicSample:
         from sssom_curator_spark.operators.sampling import hex_threshold
 
         assert hex_threshold(0.0) == "00000000"
-        assert hex_threshold(1.0) == "ffffffff"
+        # 1.0 -> "g": above every 8-hex key, so keep-all keeps ALL (a
+        # clamped "ffffffff" under strict < dropped its own hash value)
+        assert hex_threshold(1.0) == "g"
+        assert hex_threshold(0.5) == "80000000"
         with pytest.raises(ValueError):
             hex_threshold(1.5)
 
@@ -201,3 +204,35 @@ class TestMixtureWeights:
             mixture_weights(stats, {"a": -0.1, "b": 0.2})
         with pytest.raises(ValueError):
             mixture_weights(stats, {"a": 0.0})
+
+
+class TestReviewRegressionsR5:
+    def test_fraction_one_keeps_every_row(self, spark):
+        from sssom_curator_spark.operators.sampling import (
+            deterministic_sample,
+            hex_threshold,
+            stratified_sample,
+        )
+
+        assert hex_threshold(1.0) == "g"  # compares above every hex key
+        docs = spark.range(0, 1000).selectExpr("cast(id as string) doc_id",
+                                               "'books' lang")
+        assert deterministic_sample(docs, 1.0, id_col="doc_id").count() == 1000
+        kept = stratified_sample(docs, {"books": 1.0}, strata_col="lang",
+                                 id_col="doc_id")
+        assert kept.count() == 1000
+
+    def test_binding_group_rate_is_exactly_one(self, spark):
+        """(size/t)*t/size dips below 1.0 in floats; the nearest-quantize
+        must land the binding group's keep_rate on exactly 1.0."""
+        import pandas as pd
+
+        from sssom_curator_spark.operators.sampling import mixture_weights
+
+        stats = spark.createDataFrame(
+            pd.DataFrame({"domain": ["a", "b"], "n_tokens": [3, 1000]})
+        )
+        rows = {r["domain"]: r for r in
+                mixture_weights(stats, {"a": 0.3, "b": 0.7}).collect()}
+        assert rows["a"]["keep_rate"] == 1.0
+        assert rows["a"]["kept_size"] == 3

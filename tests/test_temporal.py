@@ -175,3 +175,23 @@ class TestHypertableRollup:
             hypertable_rollup(spark.range(1).selectExpr(
                 "timestamp('2024-01-01') ts", "'a' event_type", "1.0 value"
             ), levels=())
+
+
+class TestAsofNullSemantics:
+    def test_null_ts_and_key_never_match(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 01:00:00", "e1"), (None, "2024-01-01 01:00:00", "e2")],
+            "user_id int, ts_s string, event_id string",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_id")
+        right = spark.createDataFrame(
+            [(1, None, 5.0), (None, "2024-01-01 00:00:00", 7.0)],
+            "user_id int, ts_s string, v double",
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "v")
+        got = {r["event_id"]: r["v"] for r in asof_join(left, right, on="user_id").collect()}
+        # NULL-ts right row must not leak its payload; NULL-key left row
+        # must not pick up the NULL-key right row (DuckDB ASOF agrees)
+        assert got == {"e1": None, "e2": None}
