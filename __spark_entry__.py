@@ -1447,6 +1447,36 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (path doubling, graph/closure.py) over a
+    lineitem-derived layered DAG vs a DuckDB recursive-CTE oracle — the
+    ontology-hierarchy (skos:broader) ancestor-expansion operator."""
+    from sssom_curator_spark.graph.closure import transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 2000).select(
+        F.concat(F.lit("n"), (F.col("l_orderkey") % 80).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), (F.col("l_orderkey") % 80 + F.col("l_partkey") % 7 + 1).cast("string")
+        ).alias("dst"),
+    )
+    return transitive_closure(edges)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration damped PageRank with dangling redistribution
+    (graph/pagerank.py) vs a DuckDB oracle that chains one CTE per
+    iteration — deterministic, so the hash comparison is exact at 6 dp."""
+    from sssom_curator_spark.graph.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 3000).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iterations=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "prefix_pair_counts": q_prefix_pair_counts,
@@ -1464,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "tumbling_window": q_tumbling_window,
         "connected_components": q_connected_components,
+        "transitive_closure": q_transitive_closure,
+        "pagerank": q_pagerank,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1538,6 +1570,67 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+_TC_ORACLE = """
+WITH RECURSIVE
+e AS MATERIALIZED (
+  SELECT DISTINCT 'n' || CAST(l_orderkey % 80 AS VARCHAR) AS src,
+                  'n' || CAST(l_orderkey % 80 + l_partkey % 7 + 1 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 2000
+),
+base AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+reach(src, dst) AS (
+  SELECT src, dst FROM base
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN base b ON r.dst = b.src
+)
+SELECT src, dst FROM reach
+"""
+
+
+def _pagerank_oracle_sql(*, iterations: int = 5, damping: float = 0.85) -> str:
+    """One CTE chain per power iteration — replays graph/pagerank.py
+    exactly (uniform init, damped contributions, dangling-mass
+    redistribution, final round at 6 dp). MATERIALIZED everywhere:
+    r{k} is referenced by THREE consumers (d{k}, c{k}, r{k+1}) and
+    DuckDB would otherwise re-inline the whole chain exponentially."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        """base AS MATERIALIZED (
+  SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey % 60 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 3000
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM base GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nc.n AS rank FROM nodes CROSS JOIN nc)"""
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dang FROM r{k}
+  WHERE node NOT IN (SELECT src FROM base)
+),
+c{k} AS MATERIALIZED (
+  SELECT b.dst AS node, sum(r.rank / o.deg) AS contrib
+  FROM base b JOIN r{k} r ON r.node = b.src JOIN outdeg o ON o.src = b.src
+  GROUP BY b.dst
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - {d}) / nc.n
+           + {d} * (coalesce(c.contrib, CAST(0 AS DOUBLE)) + d{k}.dang / nc.n) AS rank
+  FROM nodes n CROSS JOIN nc CROSS JOIN d{k}
+  LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank + 1e-9, 6) AS rank FROM r{iterations}"
+    )
+
 
 _CC_ORACLE = """
 WITH RECURSIVE
@@ -1736,6 +1829,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "connected_components": _CC_ORACLE,
+        "transitive_closure": _TC_ORACLE,
+        "pagerank": _pagerank_oracle_sql(iterations=5, damping=0.85),
         "canonicalize": f"""
             WITH cc AS ({_CC_ORACLE}),
             e AS (

@@ -79,6 +79,8 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "hypertable_rollup",
         "kmins_distinct",
         "connected_components",
+        "transitive_closure",
+        "pagerank",
         "exact_dedup_docs",
         "minhash_lsh",
         "ngram_jaccard",

@@ -1,0 +1,108 @@
+"""Fixed-iteration PageRank over the link/mapping graph.
+
+The reference has no graph-ranking operator; a web-scale KG pipeline
+needs one — crawl frontier prioritization, domain authority for quality
+weighting, and entity-importance priors for the grounding join all
+consume it. This is the textbook damped power iteration (Page et al.
+1999) with dangling-mass redistribution, run a FIXED number of rounds so
+the result is deterministic and SQL-replayable (the DuckDB oracle chains
+one CTE per iteration; a convergence-tested variant would tie the oracle
+to float-epsilon behavior).
+
+Scale shape:
+- the edge frame joined with out-degrees is computed ONCE, repartitioned
+  on ``src`` and persisted — each iteration's rank join reuses those
+  cached partitions, so the per-iteration shuffle carries only the rank
+  frame (two columns per node), never the edges;
+- contributions aggregate with a map-side partial ``sum`` keyed on
+  ``dst`` — a 10M-in-degree hub page never materializes its in-edge list
+  in one task;
+- dangling mass (nodes with no out-edges) is ONE scalar aggregate per
+  iteration folded into the next round's literal — no per-node
+  broadcast;
+- per-iteration ``localCheckpoint`` keeps the plan flat (same discipline
+  as :mod:`sssom_curator_spark.graph.components`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.operators.textstats import stable_round
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Rank every node of the directed graph: ``(node, rank)``.
+
+    Parallel edges are collapsed (rank flows once per distinct edge);
+    self-loops count like any other edge. Ranks start uniform at 1/N and
+    sum to 1 after every iteration (dangling mass is redistributed
+    uniformly). ``round_to`` rounds the FINAL ranks only — internal
+    iterations keep full precision; pass ``None`` for raw doubles.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    n = nodes.count()  # also pins the node cache
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # One persisted, src-partitioned copy of (src, dst, _deg): every
+    # iteration reads these cached partitions; only ranks shuffle per round.
+    ewd = e.join(outdeg, on="src").repartition("src").persist()
+    ewd.count()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        # dangling mass: total rank sitting on nodes with no out-edges
+        dang = (
+            ranks.join(outdeg, on=ranks["node"] == outdeg["src"], how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            ewd.join(ranks, on=ewd["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, on=nodes["node"] == contrib["dst"], how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks
+    if round_to is not None:
+        out = ranks.select("node", stable_round(F.col("rank"), round_to).alias("rank"))
+        out = out.localCheckpoint()
+    nodes.unpersist()
+    ewd.unpersist()
+    return out

@@ -1,0 +1,113 @@
+"""Transitive closure and PageRank vs driver-side Python oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sssom_curator_spark.graph.closure import transitive_closure
+from sssom_curator_spark.graph.pagerank import pagerank
+
+
+def _closure_oracle(edges):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    out = set()
+    for start in adj:
+        seen, stack = set(), [start]
+        while stack:
+            node = stack.pop()
+            for nxt in adj.get(node, ()):
+                if (start, nxt) not in out:
+                    out.add((start, nxt))
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+    return out
+
+
+def _pagerank_oracle(edges, *, damping=0.85, iterations=5):
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r for v, r in rank.items() if v not in outdeg)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in e:
+            contrib[b] += rank[a] / outdeg[a]
+        rank = {
+            v: (1 - damping) / n + damping * (contrib[v] + dang / n) for v in nodes
+        }
+    return rank
+
+
+class TestTransitiveClosure:
+    def test_chain_diamond_cycle(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"),          # chain: 6 pairs
+            ("p", "q"), ("p", "r"), ("q", "s"), ("r", "s"),  # diamond
+            ("x", "y"), ("y", "x"),                      # 2-cycle: incl. (x,x)
+            ("l", "l"),                                  # pure self-loop: dropped
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+        assert got == _closure_oracle(edges)
+        assert ("x", "x") in got and ("l", "l") not in got
+
+    def test_random_dag(self, spark):
+        rng = random.Random(7)
+        edges = [
+            (f"n{rng.randrange(40)}", f"n{rng.randrange(40, 80)}") for _ in range(120)
+        ] + [(f"n{rng.randrange(40, 80)}", f"n{rng.randrange(80, 120)}") for _ in range(120)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+        assert got == _closure_oracle(edges)
+
+    def test_max_pairs_guard(self, spark):
+        edges = [(f"a{i}", f"a{(i + 1) % 30}") for i in range(30)]  # 30-cycle: 900 pairs
+        df = spark.createDataFrame(edges, "src string, dst string")
+        with pytest.raises(ValueError, match="max_pairs"):
+            transitive_closure(df, max_pairs=100)
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert transitive_closure(df).count() == 0
+
+
+class TestPageRank:
+    def test_star_and_chain(self, spark):
+        edges = [
+            ("hub", "s1"), ("hub", "s2"), ("hub", "s3"),
+            ("s1", "hub"), ("s2", "hub"),
+            ("c1", "c2"), ("c2", "c3"),                  # c3 dangles
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        want = _pagerank_oracle(edges)
+        assert set(got) == set(want)
+        for v, r in want.items():
+            assert got[v] == pytest.approx(r, abs=2e-6)
+        # mass conservation: ranks sum to 1
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_random_graph_matches_oracle(self, spark):
+        rng = random.Random(11)
+        edges = list(
+            {(f"v{rng.randrange(25)}", f"v{rng.randrange(25)}") for _ in range(90)}
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+        want = _pagerank_oracle(edges, iterations=4)
+        for v, r in want.items():
+            assert got[v] == pytest.approx(r, abs=2e-6)
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df).count() == 0
