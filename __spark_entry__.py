@@ -1447,6 +1447,16 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained corpus unigram-LM quality score (textstats.py):
+    per-document mean token NLL under the add-1-smoothed corpus unigram
+    distribution — the CCNet-style perplexity-proxy filter signal."""
+    from sssom_curator_spark.operators.textstats import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob_score(docs)
+
+
 def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure (path doubling, graph/closure.py) over a
     lineitem-derived layered DAG vs a DuckDB recursive-CTE oracle — the
@@ -1516,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "vocab_stats": q_vocab_stats,
+        "unigram_logprob": q_unigram_logprob,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -2141,6 +2152,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "unigram_logprob": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            vocab AS MATERIALIZED (
+              SELECT token, count(*) AS tf FROM toks GROUP BY token
+            ),
+            sc AS MATERIALIZED (
+              SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM vocab
+            ),
+            scored AS (
+              SELECT tk.doc_id,
+                     ln(sc.t + 1.0 * (sc.v + 1))
+                       - ln(vocab.tf + CAST(1.0 AS DOUBLE)) AS nll
+              FROM toks tk JOIN vocab USING (token) CROSS JOIN sc
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(nll) + 1e-9, 6) AS mean_nll
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.mean_nll
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "session_window": """
             WITH o AS MATERIALIZED (

@@ -107,6 +107,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pack_sequences",
         "pii_redact",
         "vocab_stats",
+        "unigram_logprob",
         "tfidf_topk",
         "bpe_pairs",
         "bpe_train",

@@ -38,6 +38,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "tfidf_topk",
+    "unigram_logprob_score",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -591,3 +592,72 @@ def tfidf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: float = 1.0,
+) -> DataFrame:
+    """Corpus-unigram language-model scoring — the CCNet/Gopher-style
+    "perplexity" quality proxy, self-trained (no external model in the
+    container): per document, the mean negative log-likelihood of its
+    tokens under the add-k-smoothed corpus unigram distribution
+    ``p(w) = (tf_w + k) / (T + k·(V+1))``. Low ``mean_nll`` = common,
+    fluent vocabulary; high = rare-token noise (mojibake, hashes, code
+    dumps) — the standard cut for corpus quality filtering.
+
+    Output: ``(doc_id, n_tokens, mean_nll)`` for EVERY input row;
+    token-less documents get ``(0, NULL)``. Tokenizes with
+    :func:`norm_words` (THE shared word rule; the DuckDB oracle replays
+    it verbatim). Rounded to 6 dp.
+
+    Scale shape: two corpus scans (train pass, score pass — the token
+    stream is recomputed, never cached, per the no-corpus-cache
+    discipline) and one persisted DIMENSION: the vocabulary (token, tf),
+    bounded by Heaps' law at a tiny fraction of corpus bytes. The
+    training aggregation's map-side partial counts collapse stopword
+    repeats per partition before the exchange; the scoring join keys the
+    token stream against the vocab dim — AQE broadcasts it in the common
+    case, so the corpus is scored map-side, and the per-document mean is
+    the one inherent shuffle (doc-keyed, skew-free). The two model
+    scalars (T, V — exact integers) fold into literals, so both engines
+    take ``ln`` of identical doubles and 6-dp rounding absorbs the
+    remaining libm ulps.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(norm_words(F.col(text_col))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    row = vocab.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    total, vsize = int(row["t"]), int(row["v"])
+    k = float(smoothing_k)
+    denom = float(total) + k * (vsize + 1)
+    scored = (
+        toks.join(vocab, on="token")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            stable_round(
+                F.avg(F.log(F.lit(denom)) - F.log(F.col("tf") + F.lit(k))), 6
+            ).alias("mean_nll"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, on=F.col("doc_id") == scored["_doc"], how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_nll",
+        )
+        # eager: materialize while the vocab dim is pinned, then release it
+        .localCheckpoint()
+    )
+    vocab.unpersist()
+    return out

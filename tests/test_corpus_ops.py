@@ -710,3 +710,65 @@ class TestUrlDedupNullKeyFallback:
         kept = url_dedup(df).collect()
         urls = sorted((r["url"] or "<null>") for r in kept)
         assert urls == ["<null>", "http://a.com/x"]
+
+
+class TestUnigramLogprob:
+    def _docs(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "the cat sat on the mat",
+                        "the dog sat",
+                        "zyxw qqqq",  # rare tokens -> high NLL
+                        "   ",  # token-less
+                    ],
+                }
+            )
+        )
+
+    def test_matches_python_oracle(self, spark):
+        import math
+        from collections import Counter
+
+        from sssom_curator_spark.operators.textstats import unigram_logprob_score
+
+        texts = {
+            1: "the cat sat on the mat",
+            2: "the dog sat",
+            3: "zyxw qqqq",
+            4: "   ",
+        }
+        toks = {d: t.lower().split() for d, t in texts.items()}
+        tf = Counter(w for ws in toks.values() for w in ws)
+        total, vsize = sum(tf.values()), len(tf)
+        denom = total + 1.0 * (vsize + 1)
+
+        def nll(ws):
+            return sum(math.log(denom) - math.log(tf[w] + 1.0) for w in ws) / len(ws)
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+            for r in unigram_logprob_score(self._docs(spark)).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        assert got[4] == (0, None)
+        for d in (1, 2, 3):
+            assert got[d][0] == len(toks[d])
+            assert got[d][1] == pytest.approx(nll(toks[d]), abs=2e-6)
+        # rare-token doc scores worse than stopword-y docs
+        assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
+
+    def test_null_text(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.textstats import unigram_logprob_score
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b", None]})
+        )
+        got = {r["doc_id"]: r["n_tokens"] for r in unigram_logprob_score(docs).collect()}
+        assert got == {1: 2, 2: 0}
