@@ -1447,6 +1447,67 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic link-bearing html pages from the documents table —
+    the Spark twin of the oracle's ``_LINKS_CTES`` pages CTE."""
+    from sssom_curator_spark.operators.textstats import norm_words
+
+    d = F.col("doc_id")
+    w1 = F.coalesce(F.get(norm_words(F.col("text")), 0), F.lit("page"))
+    url = F.concat(
+        F.lit("http://src"), (d % 23).cast("string"), F.lit(".net/p/"), d.cast("string")
+    )
+    html = F.concat(
+        F.lit('<html><body><p>Visit <a href="http://site'),
+        (d % 37).cast("string"),
+        F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit('">'),
+        w1,
+        F.lit('</a> and <a rel="x" href="https://www.site'),
+        (d % 11).cast("string"),
+        F.lit(".org/q?ref="),
+        (d % 5).cast("string"),
+        F.lit('">link two</a></p></body></html>'),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-tag extraction (operators/weblinks.py): codegen
+    regexp_extract_all over html, one row per link with in-page position."""
+    from sssom_curator_spark.operators.weblinks import extract_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_links(_link_pages(docs)).select(
+        "url", F.col("pos").cast("long").alias("pos"), "href", "anchor"
+    )
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph: links grouped by (registered src domain,
+    registered dst domain) with link and distinct-page counts."""
+    from sssom_curator_spark.operators.weblinks import extract_links, link_graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return link_graph(extract_links(_link_pages(docs)))
+
+
+def q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-graph authority chain: html → extract_links →
+    domain link graph → fixed-iteration PageRank — the composed pipeline
+    a crawl prioritizer runs."""
+    from sssom_curator_spark.graph.pagerank import pagerank
+    from sssom_curator_spark.operators.weblinks import extract_links, link_graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lg = link_graph(extract_links(_link_pages(docs)))
+    edges = lg.select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained corpus unigram-LM quality score (textstats.py):
     per-document mean token NLL under the add-1-smoothed corpus unigram
@@ -1506,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "pagerank": q_pagerank,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "domain_rank": q_domain_rank,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1599,19 +1663,49 @@ SELECT src, dst FROM reach
 """
 
 
-def _pagerank_oracle_sql(*, iterations: int = 5, damping: float = 0.85) -> str:
+# Synthetic link-bearing pages derived deterministically from `documents`
+# (both engines build byte-identical html, so the regex extraction is
+# value-comparable): every doc links once into a 37-site .example.com farm
+# (all collapsing to ONE registered domain) and once into an 11-domain
+# .org ring; the first normalized word of the doc text is the anchor.
+_LINK_RE_SQL = '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+_LINKS_CTES = f"""pages AS MATERIALIZED (
+  SELECT 'http://src' || CAST(doc_id % 23 AS VARCHAR) || '.net/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><p>Visit <a href="http://site' || CAST(doc_id % 37 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+           || coalesce(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   w -> w <> '')[1], 'page')
+           || '</a> and <a rel="x" href="https://www.site' || CAST(doc_id % 11 AS VARCHAR)
+           || '.org/q?ref=' || CAST(doc_id % 5 AS VARCHAR)
+           || '">link two</a></p></body></html>' AS html
+  FROM documents
+),
+tags AS MATERIALIZED (
+  SELECT url, regexp_extract_all(html, '{_LINK_RE_SQL}', 0) AS ts
+  FROM pages
+),
+links AS MATERIALIZED (
+  SELECT url, i - 1 AS pos,
+         regexp_extract(ts[i], '{_LINK_RE_SQL}', 1) AS href,
+         regexp_extract(ts[i], '{_LINK_RE_SQL}', 2) AS anchor
+  FROM tags, UNNEST(generate_series(1, len(ts))) AS u(i)
+)"""
+
+
+def _pagerank_oracle_sql(
+    base_body: str, *, pre_ctes: str = "", iterations: int = 5, damping: float = 0.85
+) -> str:
     """One CTE chain per power iteration — replays graph/pagerank.py
     exactly (uniform init, damped contributions, dangling-mass
-    redistribution, final round at 6 dp). MATERIALIZED everywhere:
-    r{k} is referenced by THREE consumers (d{k}, c{k}, r{k+1}) and
-    DuckDB would otherwise re-inline the whole chain exponentially."""
+    redistribution, final round at 6 dp) over ``base_body`` (a SELECT
+    producing distinct non-null (src, dst); ``pre_ctes`` prepends extra
+    MATERIALIZED CTEs it depends on). MATERIALIZED everywhere: r{k} is
+    referenced by THREE consumers (d{k}, c{k}, r{k+1}) and DuckDB would
+    otherwise re-inline the whole chain exponentially."""
     d = f"CAST({damping} AS DOUBLE)"
     parts = [
-        """base AS MATERIALIZED (
-  SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
-                  'p' || CAST(l_partkey % 60 AS VARCHAR) AS dst
-  FROM lineitem WHERE l_orderkey < 3000
-),
+        f"""{pre_ctes}base AS MATERIALIZED ({base_body}),
 nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
 nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
 outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM base GROUP BY src),
@@ -1841,7 +1935,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "connected_components": _CC_ORACLE,
         "transitive_closure": _TC_ORACLE,
-        "pagerank": _pagerank_oracle_sql(iterations=5, damping=0.85),
+        "pagerank": _pagerank_oracle_sql(
+            """
+  SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey % 60 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 3000
+""",
+            iterations=5,
+            damping=0.85,
+        ),
+        "extract_links": f"""
+            WITH {_LINKS_CTES}
+            SELECT url, pos, href, anchor FROM links
+        """,
+        "link_graph": f"""
+            WITH {_LINKS_CTES},
+            doms AS (
+              SELECT regexp_extract(lower(regexp_extract(url, '://([^/]+)', 1)),
+                                    '[^.]+\\.[^.]+$', 0) AS src_domain,
+                     regexp_extract(lower(regexp_extract(href, '://([^/]+)', 1)),
+                                    '[^.]+\\.[^.]+$', 0) AS dst_domain,
+                     url AS page
+              FROM links
+            )
+            SELECT src_domain, dst_domain, count(*) AS n_links,
+                   count(DISTINCT page) AS n_pages
+            FROM doms GROUP BY src_domain, dst_domain
+        """,
+        "domain_rank": _pagerank_oracle_sql(
+            """
+  SELECT DISTINCT
+    regexp_extract(lower(regexp_extract(url, '://([^/]+)', 1)),
+                   '[^.]+\\.[^.]+$', 0) AS src,
+    regexp_extract(lower(regexp_extract(href, '://([^/]+)', 1)),
+                   '[^.]+\\.[^.]+$', 0) AS dst
+  FROM links
+""",
+            pre_ctes=_LINKS_CTES + ",\n",
+            iterations=3,
+            damping=0.85,
+        ),
         "canonicalize": f"""
             WITH cc AS ({_CC_ORACLE}),
             e AS (

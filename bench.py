@@ -81,6 +81,8 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "connected_components",
         "transitive_closure",
         "pagerank",
+        "extract_links",
+        "domain_rank",
         "exact_dedup_docs",
         "minhash_lsh",
         "ngram_jaccard",
