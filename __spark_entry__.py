@@ -1447,6 +1447,38 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training chunker (operators/sampling.py): map-side
+    tokenize → arithmetic chunk count → sequence explode → slice."""
+    from sssom_curator_spark.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=20, overlap=5)
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filter (functions/url_ops.py): left_anti equi-join
+    of pages against a broadcastable blocked-domain dimension."""
+    from sssom_curator_spark.functions.url_ops import filter_blocklisted_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://src"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".net/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.range(8).select(
+        F.concat(F.lit("src"), (F.col("id") * 3).cast("string"), F.lit(".net")).alias(
+            "domain"
+        )
+    )
+    return filter_blocklisted_domains(pages, blocked).select("doc_id", "url")
+
+
 def _link_pages(docs: DataFrame) -> DataFrame:
     """Deterministic link-bearing html pages from the documents table —
     the Spark twin of the oracle's ``_LINKS_CTES`` pages CTE."""
@@ -1570,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "link_graph": q_link_graph,
         "domain_rank": q_domain_rank,
+        "chunk_documents": q_chunk_documents,
+        "blocklist_filter": q_blocklist_filter,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2285,6 +2319,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "chunk_documents": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 w -> w <> '') AS t
+              FROM documents
+            ),
+            meta AS (
+              SELECT doc_id, t, len(t) AS n,
+                     CASE WHEN len(t) = 0 THEN 0
+                          WHEN len(t) <= 20 THEN 1
+                          ELSE 1 + CAST(floor((len(t) - 20 + 14) / 15.0) AS BIGINT)
+                     END AS n_chunks
+              FROM toks
+            )
+            SELECT doc_id, i AS chunk_id,
+                   len(list_slice(t, i * 15 + 1, i * 15 + 20)) AS n_chunk_tokens,
+                   array_to_string(list_slice(t, i * 15 + 1, i * 15 + 20), ' ')
+                     AS chunk_text
+            FROM meta, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+        """,
+        "blocklist_filter": """
+            SELECT doc_id,
+                   'http://src' || CAST(doc_id % 23 AS VARCHAR) || '.net/p/'
+                     || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE (doc_id % 23) NOT IN (0, 3, 6, 9, 12, 15, 18, 21)
         """,
         "unigram_logprob": """
             WITH toks AS MATERIALIZED (

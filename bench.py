@@ -107,6 +107,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "stratified_sample",
         "mixture_weights",
         "pack_sequences",
+        "chunk_documents",
         "pii_redact",
         "vocab_stats",
         "unigram_logprob",

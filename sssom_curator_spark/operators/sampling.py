@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "mixture_weights",
     "pack_sequences",
+    "chunk_documents",
 ]
 
 
@@ -243,4 +244,68 @@ def mixture_weights(
         F.col("_t").alias("target_frac"),
         (F.floor(c * F.col("_t") / F.col(size_col) * q + 0.5) / q).alias("keep_rate"),
         F.floor(c * F.col("_t") + 0.5).cast("long").alias("kept_size"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking — the context-window preparation step of a
+    pretraining pipeline: split each document's whitespace token stream
+    into chunks of at most ``max_tokens`` tokens, consecutive chunks
+    sharing ``overlap`` tokens (stride = max_tokens - overlap). The last
+    chunk may be shorter; token-less documents emit no chunks. Tokens
+    keep their original case (chunking is a layout operation, not a
+    normalization — :func:`~sssom_curator_spark.operators.textstats.norm_words`
+    is for statistics).
+
+    Output: ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)`` with
+    0-based ``chunk_id`` in document order.
+
+    Scale shape: pure map-side projection — tokenize once into a bound
+    array column, compute the chunk count arithmetically, explode a
+    ``sequence`` of chunk ids, slice per chunk. No shuffle, no Python;
+    the explode factor is ~n_tokens/stride (bounded by document length,
+    which upstream length filters already cap).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got overlap={overlap} "
+            f"max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        "_t",
+        F.size("_t").alias("_n"),
+    )
+    n = F.col("_n")
+    n_chunks = (
+        F.when(n == 0, F.lit(0))
+        .when(n <= max_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.floor((n - max_tokens + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+        )
+    )
+    # guard: Spark's sequence(0, -1) DESCENDS — empty docs must map to an
+    # empty id array, not [0, -1]
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks.cast("long") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = base.select("doc_id", "_t", F.explode(ids).alias("chunk_id"))
+    piece = F.slice(F.col("_t"), (F.col("chunk_id") * stride + 1).cast("int"), max_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )

@@ -236,3 +236,51 @@ class TestReviewRegressionsR5:
                 mixture_weights(stats, {"a": 0.3, "b": 0.7}).collect()}
         assert rows["a"]["keep_rate"] == 1.0
         assert rows["a"]["kept_size"] == 3
+
+
+class TestChunkDocuments:
+    @staticmethod
+    def _oracle(text, max_tokens, overlap):
+        toks = (text or "").split()
+        stride = max_tokens - overlap
+        out = []
+        if not toks:
+            return out
+        n_chunks = 1 if len(toks) <= max_tokens else 1 + -(-(len(toks) - max_tokens) // stride)
+        for i in range(n_chunks):
+            piece = toks[i * stride : i * stride + max_tokens]
+            out.append((i, len(piece), " ".join(piece)))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        from sssom_curator_spark.operators.sampling import chunk_documents
+
+        texts = {
+            1: " ".join(f"w{i}" for i in range(25)),   # multi-chunk
+            2: "Short Doc",                            # single chunk, case kept
+            3: "",                                     # no chunks
+            4: None,                                   # no chunks
+            5: " ".join(f"x{i}" for i in range(10)),   # exactly max_tokens
+        }
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        )
+        got = {}
+        for r in chunk_documents(docs, max_tokens=10, overlap=3).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+            )
+        for d, t in texts.items():
+            assert sorted(got.get(d, [])) == self._oracle(t, 10, 3), d
+        # overlap property: chunk k's tail == chunk k+1's head
+        c = sorted(got[1])
+        assert c[0][2].split()[-3:] == c[1][2].split()[:3]
+
+    def test_validation(self, spark):
+        from sssom_curator_spark.operators.sampling import chunk_documents
+
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=5, overlap=5)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=5, overlap=-1)
