@@ -21,7 +21,11 @@ Scale shape:
   iteration folded into the next round's literal — no per-node
   broadcast;
 - per-iteration ``localCheckpoint`` keeps the plan flat (same discipline
-  as :mod:`sssom_curator_spark.graph.components`).
+  as :mod:`sssom_curator_spark.graph.components`); the checkpoint blocks
+  are NODE-sized (two columns), the explicit edge/node persists are
+  released before returning, and superseded iteration checkpoints are
+  reclaimed by Spark's ContextCleaner as their Datasets drop
+  (plan-pinned in ``tests/test_plans.py::TestPageRankEdgeReuse``).
 """
 
 from __future__ import annotations

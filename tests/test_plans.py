@@ -176,3 +176,55 @@ class TestCodegenCoverage:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         codegen_ops = re.findall(r"\*\(\d+\)\s+(\w+)", plan)
         assert codegen_ops.count("HashAggregate") == 2, plan
+
+
+class TestRound5MapSideOps:
+    """The chunker and link extractor are designed as PURE map-side
+    projections — any Exchange in their plans is a regression that turns
+    a free operator into a corpus shuffle at 100 TB."""
+
+    def test_chunk_documents_has_no_shuffle(self, spark):
+        from sssom_curator_spark.operators.sampling import chunk_documents
+
+        docs = _table(spark, "documents").select("doc_id", "text")
+        plan = _plan(chunk_documents(docs, max_tokens=20, overlap=5))
+        assert "Exchange" not in plan
+        assert "Generate explode" in plan  # the sequence explode, map-side
+
+    def test_extract_links_has_no_shuffle(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.weblinks import extract_links
+
+        pages = spark.createDataFrame(
+            pd.DataFrame({"url": ["http://a.com/1"], "html": ['<a href="http://b.com">x</a>']})
+        )
+        plan = _plan(extract_links(pages))
+        assert "Exchange" not in plan
+
+
+class TestPageRankEdgeReuse:
+    def test_edges_cached_not_rescanned(self, spark):
+        """Each PageRank iteration must read the persisted src-partitioned
+        edge frame (InMemoryTableScan), not recompute the edge derivation:
+        the design contract that per-iteration shuffles carry only the
+        two-column rank frame."""
+        from sssom_curator_spark.graph.pagerank import pagerank
+
+        li = _table(spark, "lineitem")
+        edges = li.select(
+            (F.col("l_orderkey") % 13).cast("string").alias("src"),
+            (F.col("l_partkey") % 17).cast("string").alias("dst"),
+        )
+        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        ranks = pagerank(edges, iterations=2, round_to=None)
+        assert ranks.count() > 0
+        # pagerank persists nodes + the src-partitioned edge frame
+        # internally and MUST release both on exit (a leaked EDGE-scale
+        # cache accumulates across pipeline stages). What may remain are
+        # only the per-iteration localCheckpoint blocks — NODE-sized
+        # (two columns per node), at most iterations + 1 of them, and
+        # reclaimed by the ContextCleaner when their Datasets drop (the
+        # same convention as connected_components' per-round checkpoints).
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after - before <= 2 + 1  # iterations + 1, never the 2 persists
