@@ -1447,6 +1447,27 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_anchor_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity linking (operators/weblinks.py): anchors of the
+    extracted links grounded against the part-word index, counted per
+    (target domain, term) — the web-graph grounding prior."""
+    from sssom_curator_spark.operators.weblinks import (
+        anchor_entity_candidates,
+        extract_links,
+    )
+
+    from sssom_curator_spark.operators.textstats import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    links = extract_links(_link_pages(docs))
+    index = vocab_stats(docs, top_k=100).select(
+        F.lit("VOC").alias("prefix"),
+        F.col("token").alias("identifier"),
+        F.col("token").alias("norm_text"),
+    )
+    return anchor_entity_candidates(links, index)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window training chunker (operators/sampling.py): map-side
     tokenize → arithmetic chunk count → sequence explode → slice."""
@@ -1486,6 +1507,7 @@ def _link_pages(docs: DataFrame) -> DataFrame:
 
     d = F.col("doc_id")
     w1 = F.coalesce(F.get(norm_words(F.col("text")), 0), F.lit("page"))
+    w2 = F.coalesce(F.get(norm_words(F.col("text")), 1), F.lit("link two"))
     url = F.concat(
         F.lit("http://src"), (d % 23).cast("string"), F.lit(".net/p/"), d.cast("string")
     )
@@ -1500,7 +1522,9 @@ def _link_pages(docs: DataFrame) -> DataFrame:
         (d % 11).cast("string"),
         F.lit(".org/q?ref="),
         (d % 5).cast("string"),
-        F.lit('">link two</a></p></body></html>'),
+        F.lit('">'),
+        w2,
+        F.lit("</a></p></body></html>"),
     )
     return docs.select(url.alias("url"), html.alias("html"))
 
@@ -1604,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank": q_domain_rank,
         "chunk_documents": q_chunk_documents,
         "blocklist_filter": q_blocklist_filter,
+        "anchor_grounding": q_anchor_grounding,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1711,8 +1736,10 @@ _LINKS_CTES = f"""pages AS MATERIALIZED (
            || coalesce(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                                    w -> w <> '')[1], 'page')
            || '</a> and <a rel="x" href="https://www.site' || CAST(doc_id % 11 AS VARCHAR)
-           || '.org/q?ref=' || CAST(doc_id % 5 AS VARCHAR)
-           || '">link two</a></p></body></html>' AS html
+           || '.org/q?ref=' || CAST(doc_id % 5 AS VARCHAR) || '">'
+           || coalesce(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   w -> w <> '')[2], 'link two')
+           || '</a></p></body></html>' AS html
   FROM documents
 ),
 tags AS MATERIALIZED (
@@ -2319,6 +2346,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "anchor_grounding": f"""
+            WITH {_LINKS_CTES},
+            vtoks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            idx AS MATERIALIZED (
+              SELECT token AS w FROM (
+                SELECT token, count(*) AS tf FROM vtoks GROUP BY token
+                ORDER BY tf DESC, token ASC LIMIT 100
+              )
+            ),
+            norm AS (
+              -- the ASCII slice of norm_text_col (lower, dashes→space,
+              -- whitespace collapse); the synthetic corpus has no greek
+              SELECT regexp_extract(lower(regexp_extract(href, '://([^/]+)', 1)),
+                                    '[^.]+\\.[^.]+$', 0) AS dst_domain,
+                     trim(regexp_replace(replace(lower(anchor), '-', ' '),
+                                         '\\s+', ' ', 'g')) AS na
+              FROM links
+            )
+            SELECT n.dst_domain, 'VOC:' || i.w AS object_id, count(*) AS n_links
+            FROM norm n JOIN idx i ON n.na = i.w
+            GROUP BY 1, 2
         """,
         "chunk_documents": """
             WITH toks AS MATERIALIZED (

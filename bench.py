@@ -83,6 +83,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pagerank",
         "extract_links",
         "domain_rank",
+        "anchor_grounding",
         "exact_dedup_docs",
         "minhash_lsh",
         "ngram_jaccard",

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from sssom_curator_spark.functions.url_ops import registered_domain
 
-__all__ = ["DEFAULT_LINK_PATTERN", "extract_links", "link_graph"]
+__all__ = [
+    "DEFAULT_LINK_PATTERN",
+    "anchor_entity_candidates",
+    "extract_links",
+    "link_graph",
+]
 
 #: One capture for the href, one for the anchor text. Anchors are matched
 #: as ``[^<]*`` (no nested markup) — nested-tag anchors simply don't
@@ -90,4 +95,48 @@ def link_graph(
             F.count(F.lit(1)).alias("n_links"),
             F.countDistinct("_page").alias("n_pages"),
         )
+    )
+
+
+def anchor_entity_candidates(
+    links: DataFrame,
+    index: DataFrame,
+    *,
+    anchor_col: str = "anchor",
+    href_col: str = "href",
+) -> DataFrame:
+    """Entity-linking prior from anchor text: how often the web links to
+    each target domain USING each ontology term as the anchor — the
+    web-graph analogue of the reference's lexical grounding
+    (predict/lexical.py:83-160), and a standard disambiguation feature
+    (anchor text is the strongest free-text label signal a crawl has).
+
+    ``index`` is the grounding dimension ``(prefix, identifier,
+    norm_text)`` — the same shape every grounding operator here consumes.
+    Anchors are normalized with the shared
+    :func:`~sssom_curator_spark.functions.text_norm.norm_text_col` rule,
+    so "Alpha-Tocopherol " and "alpha tocopherol" ground identically.
+
+    Output: ``(dst_domain, object_id, n_links)``.
+
+    Scale shape: the index is a label dimension — AQE broadcasts it, so
+    the link stream is matched map-side and a hub term (the MeSH/UMLS
+    skew case) never concentrates a shuffle; the counting groupBy keys on
+    (domain, object) pairs, which spreads a hub term across its target
+    domains.
+    """
+    from sssom_curator_spark.functions.text_norm import norm_text_col
+
+    dim = index.select(
+        F.col("norm_text").alias("_nt"),
+        F.concat_ws(":", F.col("prefix"), F.col("identifier")).alias("object_id"),
+    )
+    return (
+        links.select(
+            registered_domain(href_col).alias("dst_domain"),
+            norm_text_col(F.col(anchor_col)).alias("_na"),
+        )
+        .join(dim, on=F.col("_na") == F.col("_nt"))
+        .groupBy("dst_domain", "object_id")
+        .agg(F.count(F.lit(1)).alias("n_links"))
     )

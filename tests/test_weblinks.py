@@ -67,3 +67,40 @@ class TestLinkGraph:
             ("example.com", "other.org"): (2, 2),
             ("example.com", "y.net"): (1, 1),
         }
+
+
+class TestAnchorGrounding:
+    def test_normalized_anchor_join(self, spark):
+        from sssom_curator_spark.operators.weblinks import anchor_entity_candidates
+
+        links = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": ["http://s.com/1"] * 3 + ["http://s.com/2"],
+                    "href": [
+                        "http://a.org/x",
+                        "http://a.org/y",
+                        "http://b.net/z",
+                        "http://a.org/w",
+                    ],
+                    "anchor": ["Alpha-Tocopherol ", "alpha  tocopherol", "aspirin", "nothing"],
+                }
+            )
+        )
+        index = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "prefix": ["CHEBI", "CHEBI"],
+                    "identifier": ["18145", "15365"],
+                    "norm_text": ["alpha tocopherol", "aspirin"],
+                }
+            )
+        )
+        got = {
+            (r["dst_domain"], r["object_id"]): r["n_links"]
+            for r in anchor_entity_candidates(links, index).collect()
+        }
+        assert got == {
+            ("a.org", "CHEBI:18145"): 2,   # dash + case + whitespace all normalize
+            ("b.net", "CHEBI:15365"): 1,
+        }
