@@ -1447,6 +1447,37 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (functions/url_ops.py crawl_diff): two synthetic
+    crawls of the documents corpus — removals (doc_id%13==0), content
+    changes (%7==0), additions (%17==0 under an /extra/ path) — reported
+    as a delta-sized added/removed/changed table."""
+    from sssom_curator_spark.functions.url_ops import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://crawl"), (d % 19).cast("string"), F.lit(".site/p/"), d.cast("string")
+    )
+    old = docs.select(url.alias("url"), "text")
+    changed = docs.filter(d % 13 != 0).select(
+        url.alias("url"),
+        F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    added = docs.filter(d % 17 == 0).select(
+        F.concat(
+            F.lit("http://crawl"),
+            (d % 19).cast("string"),
+            F.lit(".site/extra/"),
+            d.cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return crawl_diff(old, changed.union(added))
+
+
 def q_anchor_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text entity linking (operators/weblinks.py): anchors of the
     extracted links grounded against the part-word index, counted per
@@ -1629,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "blocklist_filter": q_blocklist_filter,
         "anchor_grounding": q_anchor_grounding,
+        "crawl_diff": q_crawl_diff,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2346,6 +2378,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "crawl_diff": """
+            WITH base AS MATERIALIZED (
+              SELECT doc_id, text,
+                     'http://crawl' || CAST(doc_id % 19 AS VARCHAR)
+                       || '.site/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            old_side AS MATERIALIZED (
+              SELECT url, max(md5(coalesce(text, ''))) AS old_hash
+              FROM base GROUP BY url
+            ),
+            new_rows AS (
+              SELECT url,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM base WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'http://crawl' || CAST(doc_id % 19 AS VARCHAR)
+                       || '.site/extra/' || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM base WHERE doc_id % 17 = 0
+            ),
+            new_side AS MATERIALIZED (
+              SELECT url, max(md5(coalesce(text, ''))) AS new_hash
+              FROM new_rows GROUP BY url
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.old_hash <> n.new_hash THEN 'changed'
+                   END AS status,
+                   o.old_hash, n.new_hash
+            FROM old_side o FULL OUTER JOIN new_side n ON o.url = n.url
+            WHERE (o.url IS NULL OR n.url IS NULL OR o.old_hash <> n.new_hash)
         """,
         "anchor_grounding": f"""
             WITH {_LINKS_CTES},

@@ -102,6 +102,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "dup_span_stats",
         "url_canonicalize",
         "crawl_merge",
+        "crawl_diff",
         "near_dedup_apply",
         "domain_stats",
         "hash_split",

@@ -34,6 +34,7 @@ __all__ = [
     "canonicalize_url",
     "url_dedup",
     "crawl_merge",
+    "crawl_diff",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -331,3 +332,56 @@ def crawl_merge(
         how="left_semi",
     )
     return resolved.dropDuplicates(["_curl"]).drop("_curl")
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    url_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta between two crawls: which canonical URLs were
+    ``added``, ``removed``, or ``changed`` (content hash differs) — the
+    report an incremental refresh pipeline emits before
+    :func:`crawl_merge` commits, and the freshness signal crawl
+    schedulers consume. Unchanged URLs are NOT emitted (the output is
+    delta-sized, not corpus-sized).
+
+    Each side is first collapsed to one row per canonical URL with the
+    LEXICOGRAPHICALLY GREATEST content hash (dedup within a snapshot is
+    :func:`url_dedup`'s job; the max makes this operator deterministic
+    even on non-deduped inputs). Output:
+    ``(url, status, old_hash, new_hash)`` with the canonical URL.
+
+    Scale shape: one groupBy per side keyed on the canonical URL (the
+    max combines map-side — a hot URL ships one candidate per upstream
+    partition), then ONE full-outer equi-join of two already-keyed,
+    URL-unique frames. Hashes (md5) travel, never page content.
+    """
+
+    def _side(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(
+                canonicalize_url(url_col).alias("url"),
+                F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit(""))).alias(
+                    alias
+                ),
+            )
+            .groupBy("url")
+            .agg(F.max(alias).alias(alias))
+        )
+
+    o = _side(old, "old_hash")
+    n = _side(new, "new_hash")
+    joined = o.join(n, on="url", how="full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("url", "status", "old_hash", "new_hash")
+    )

@@ -772,3 +772,49 @@ class TestUnigramLogprob:
         )
         got = {r["doc_id"]: r["n_tokens"] for r in unigram_logprob_score(docs).collect()}
         assert got == {1: 2, 2: 0}
+
+
+class TestCrawlDiff:
+    def test_added_removed_changed(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.functions.url_ops import crawl_diff
+
+        old = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "http://a.com/1",
+                        "http://a.com/2",
+                        "http://a.com/3",
+                        # duplicate capture within the snapshot: max hash wins
+                        "http://a.com/3",
+                    ],
+                    "text": ["same", "old content", "dup-a", "dup-b"],
+                }
+            )
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": ["http://a.com/1", "http://a.com/2", "http://a.com/4"],
+                    "text": ["same", "NEW content", "brand new"],
+                }
+            )
+        )
+        got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+        assert got == {
+            "http://a.com/2": "changed",
+            "http://a.com/3": "removed",
+            "http://a.com/4": "added",
+        }
+
+    def test_unchanged_corpus_is_empty_delta(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.functions.url_ops import crawl_diff
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": ["http://x.org/a"], "text": ["t"]})
+        )
+        assert crawl_diff(df, df).count() == 0
