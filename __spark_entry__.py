@@ -261,6 +261,26 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — F.window with a slide
+    shorter than the size, so every event lands in size/slide overlapping
+    windows (SURVEY.md §2.9; the same expression is streaming-capable).
+    The oracle replays the window assignment with epoch arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: large-star/small-star CC vs a recursive-CTE closure oracle
     (export/charts.py:46-66 re-expressed for scale)."""
@@ -1651,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "window_topn": q_window_topn,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "pagerank": q_pagerank,
@@ -2025,6 +2046,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            WITH e AS MATERIALIZED (
+              -- floor, not CAST: CAST(double AS BIGINT) rounds in DuckDB and
+              -- a fractional-second event would jump the 900 s boundary
+              SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+              FROM events
+            ),
+            x AS (
+              -- size 1800s, slide 900s: every event lands in exactly two
+              -- epoch-aligned windows (base and base - slide)
+              SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                                + ((es - es % 900) - 900 * k) * INTERVAL '1 second',
+                              '%Y-%m-%d %H:%M:%S') AS win_start,
+                     event_type, value
+              FROM e, UNNEST(generate_series(0, 1)) AS u(k)
+            )
+            SELECT win_start, event_type, count(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM x GROUP BY 1, 2
         """,
         "connected_components": _CC_ORACLE,
         "transitive_closure": _TC_ORACLE,

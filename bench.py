@@ -73,6 +73,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "conjunctive_filter",
         "window_topn",
         "tumbling_window",
+        "hopping_window",
         "session_window",
         "asof_join",
         "range_join",
