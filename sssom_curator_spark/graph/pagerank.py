@@ -43,23 +43,45 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     *,
+    weight: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
     round_to: int | None = 6,
 ) -> DataFrame:
     """Rank every node of the directed graph: ``(node, rank)``.
 
-    Parallel edges are collapsed (rank flows once per distinct edge);
-    self-loops count like any other edge. Ranks start uniform at 1/N and
-    sum to 1 after every iteration (dangling mass is redistributed
-    uniformly). ``round_to`` rounds the FINAL ranks only — internal
-    iterations keep full precision; pass ``None`` for raw doubles.
+    Without ``weight``, parallel edges are collapsed (rank flows once per
+    distinct edge); with ``weight`` (a numeric column — e.g. the
+    ``n_links`` of a domain link graph), each source distributes rank
+    proportionally to edge weight (parallel edges sum; non-positive
+    weights are dropped). Self-loops count like any other edge. Ranks
+    start uniform at 1/N and sum to 1 after every iteration (dangling
+    mass is redistributed uniformly). ``round_to`` rounds the FINAL ranks
+    only — internal iterations keep full precision; pass ``None`` for raw
+    doubles.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("_w"),
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("_w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -71,8 +93,8 @@ def pagerank(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    # One persisted, src-partitioned copy of (src, dst, _deg): every
+    outdeg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
+    # One persisted, src-partitioned copy of (src, dst, _w, _deg): every
     # iteration reads these cached partitions; only ranks shuffle per round.
     ewd = e.join(outdeg, on="src").repartition("src").persist()
     ewd.count()
@@ -89,7 +111,7 @@ def pagerank(
         contrib = (
             ewd.join(ranks, on=ewd["src"] == ranks["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+            .agg(F.sum(F.col("rank") * F.col("_w") / F.col("_deg")).alias("_in"))
         )
         ranks = (
             nodes.join(contrib, on=nodes["node"] == contrib["dst"], how="left")

@@ -111,3 +111,62 @@ class TestPageRank:
     def test_empty(self, spark):
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df).count() == 0
+
+
+class TestWeightedPageRank:
+    @staticmethod
+    def _oracle(wedges, *, damping=0.85, iterations=5):
+        # wedges: {(a, b): w} pre-summed
+        nodes = sorted({a for a, _ in wedges} | {b for _, b in wedges})
+        n = len(nodes)
+        wout = {}
+        for (a, _), w in wedges.items():
+            wout[a] = wout.get(a, 0.0) + w
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iterations):
+            dang = sum(r for v, r in rank.items() if v not in wout)
+            contrib = {v: 0.0 for v in nodes}
+            for (a, b), w in wedges.items():
+                contrib[b] += rank[a] * w / wout[a]
+            rank = {
+                v: (1 - damping) / n + damping * (contrib[v] + dang / n)
+                for v in nodes
+            }
+        return rank
+
+    def test_weights_shift_mass(self, spark):
+        from sssom_curator_spark.graph.pagerank import pagerank
+
+        rows = [
+            ("a", "heavy", 9.0),
+            ("a", "light", 1.0),
+            ("b", "heavy", 2.0),
+            ("b", "light", 2.0),
+            ("heavy", "a", 1.0),
+            # parallel edge: sums with the first (a, light)
+            ("a", "light", 1.0),
+            # non-positive weight: dropped
+            ("a", "ghost", 0.0),
+        ]
+        df = spark.createDataFrame(rows, "src string, dst string, w double")
+        got = {r["node"]: r["rank"] for r in pagerank(df, weight="w").collect()}
+        wedges = {}
+        for a, b, w in rows:
+            if w > 0:
+                wedges[(a, b)] = wedges.get((a, b), 0.0) + w
+        want = self._oracle(wedges)
+        assert set(got) == set(want) and "ghost" not in got
+        for v, r in want.items():
+            assert got[v] == pytest.approx(r, abs=2e-6)
+        assert got["heavy"] > got["light"]
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        from sssom_curator_spark.graph.pagerank import pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "src string, dst string, w double"
+        )
+        unweighted = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        weighted = {r["node"]: r["rank"] for r in pagerank(df, weight="w").collect()}
+        assert unweighted == weighted
