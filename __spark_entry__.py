@@ -1467,6 +1467,17 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample (operators/sampling.py):
+    the smallest k salted hashes per group, partition-invariant."""
+    from sssom_curator_spark.operators.sampling import group_topk_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7).alias("grp")
+    )
+    return group_topk_sample(docs, group_cols=["grp"], id_col="doc_id", k=3)
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta (functions/url_ops.py crawl_diff): two synthetic
     crawls of the documents corpus — removals (doc_id%13==0), content
@@ -1682,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "anchor_grounding": q_anchor_grounding,
         "crawl_diff": q_crawl_diff,
+        "group_topk_sample": q_group_topk_sample,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2419,6 +2431,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "group_topk_sample": """
+            WITH g AS (
+              SELECT doc_id, doc_id % 7 AS grp,
+                     md5('gk|' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, grp,
+                     row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rn
+              FROM g
+            )
+            SELECT doc_id, grp FROM r WHERE rn <= 3
         """,
         "crawl_diff": """
             WITH base AS MATERIALIZED (

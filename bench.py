@@ -108,6 +108,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "domain_stats",
         "hash_split",
         "stratified_sample",
+        "group_topk_sample",
         "mixture_weights",
         "pack_sequences",
         "chunk_documents",

@@ -33,6 +33,7 @@ __all__ = [
     "mixture_weights",
     "pack_sequences",
     "chunk_documents",
+    "group_topk_sample",
 ]
 
 
@@ -308,4 +309,39 @@ def chunk_documents(
         "chunk_id",
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def group_topk_sample(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: str = "gk",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, selected by salted
+    md5 order — the eval-set/inspection-sample constructor
+    (:func:`stratified_sample` keeps a FRACTION per group; audits and
+    few-shot pools need an exact COUNT). Deterministic across reruns,
+    partitionings, and engines (the same portable key family as
+    :func:`split_assign`); ``id_col`` breaks ties between duplicated ids.
+
+    Scale shape: ONE shuffle on the group key plus a per-group sort
+    (``row_number`` window). A pathologically hot group lands on one
+    reducer and pays a sort of its own rows — acceptable when groups are
+    domains/languages (crawl-bounded); for a group that is itself
+    corpus-sized, pre-thin with :func:`deterministic_sample` on the same
+    salt before the exact pass.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

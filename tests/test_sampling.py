@@ -284,3 +284,49 @@ class TestChunkDocuments:
             chunk_documents(docs, max_tokens=5, overlap=5)
         with pytest.raises(ValueError):
             chunk_documents(docs, max_tokens=5, overlap=-1)
+
+
+class TestGroupTopkSample:
+    def test_exact_k_deterministic(self, spark):
+        import hashlib
+
+        from sssom_curator_spark.operators.sampling import group_topk_sample
+
+        rows = [(i, f"g{i % 3}") for i in range(50)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "grp"])
+        )
+        got = group_topk_sample(df, group_cols=["grp"], id_col="doc_id", k=4).collect()
+        by_grp = {}
+        for r in got:
+            by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+        # python oracle: the 4 smallest salted hashes per group
+        want = {}
+        for i, g in rows:
+            h = hashlib.md5(f"gk|{i}".encode()).hexdigest()
+            want.setdefault(g, []).append((h, i))
+        for g, hs in want.items():
+            expect = {i for _, i in sorted(hs)[:4]}
+            assert by_grp[g] == expect, g
+        # partition-invariance
+        again = group_topk_sample(
+            df.repartition(7), group_cols=["grp"], id_col="doc_id", k=4
+        ).collect()
+        assert {(r["grp"], r["doc_id"]) for r in again} == {
+            (r["grp"], r["doc_id"]) for r in got
+        }
+
+    def test_small_groups_kept_whole(self, spark):
+        from sssom_curator_spark.operators.sampling import group_topk_sample
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "grp": ["a", "b"]})
+        )
+        assert group_topk_sample(df, group_cols=["grp"], k=10).count() == 2
+
+    def test_k_validation(self, spark):
+        from sssom_curator_spark.operators.sampling import group_topk_sample
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "grp": ["a"]}))
+        with pytest.raises(ValueError):
+            group_topk_sample(df, group_cols=["grp"], k=0)
