@@ -1467,6 +1467,20 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph/triangles.py) via degree-ordered
+    orientation — wedge blowup capped at O(√m) out-degree regardless of
+    hubs; oracle is the independent canonical-edge 3-way join."""
+    from sssom_curator_spark.graph.triangles import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 3000).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-group deterministic sample (operators/sampling.py):
     the smallest k salted hashes per group, partition-invariant."""
@@ -1694,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_grounding": q_anchor_grounding,
         "crawl_diff": q_crawl_diff,
         "group_topk_sample": q_group_topk_sample,
+        "triangle_counts": q_triangle_counts,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2431,6 +2446,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "triangle_counts": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS s,
+                              'p' || CAST(l_partkey % 60 AS VARCHAR) AS t
+              FROM lineitem WHERE l_orderkey < 3000
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+              FROM e0 WHERE s <> t
+            ),
+            nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+            tri AS MATERIALIZED (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM und a
+              JOIN und b ON b.u = a.v
+              JOIN und c ON c.u = a.u AND c.v = b.v
+            ),
+            m AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            cnt AS (SELECT node, count(*) AS n_triangles FROM m GROUP BY node)
+            SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
+            FROM nodes n LEFT JOIN cnt c ON c.node = n.node
         """,
         "group_topk_sample": """
             WITH g AS (

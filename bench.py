@@ -82,6 +82,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "connected_components",
         "transitive_closure",
         "pagerank",
+        "triangle_counts",
         "extract_links",
         "domain_rank",
         "anchor_grounding",

@@ -170,3 +170,47 @@ class TestWeightedPageRank:
         unweighted = {r["node"]: r["rank"] for r in pagerank(df).collect()}
         weighted = {r["node"]: r["rank"] for r in pagerank(df, weight="w").collect()}
         assert unweighted == weighted
+
+
+class TestTriangleCounts:
+    @staticmethod
+    def _oracle(edges):
+        from itertools import combinations
+
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({n for e in und for n in e})
+        adj = {n: set() for n in nodes}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        counts = {n: 0 for n in nodes}
+        for x, y, z in combinations(nodes, 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for n in (x, y, z):
+                    counts[n] += 1
+        return counts
+
+    def test_cliques_and_chains(self, spark):
+        from sssom_curator_spark.graph.triangles import triangle_counts
+
+        edges = [
+            # K4 on a..d: every node in 3 triangles
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+            # chain with no triangle
+            ("p", "q"), ("q", "r"),
+            # reverse duplicate + self loop: ignored
+            ("b", "a"), ("p", "p"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == self._oracle(edges)
+        assert got["a"] == 3 and got["p"] == 0
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.triangles import triangle_counts
+
+        rng = random.Random(23)
+        edges = list({(f"v{rng.randrange(18)}", f"v{rng.randrange(18)}") for _ in range(70)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == self._oracle(edges)
