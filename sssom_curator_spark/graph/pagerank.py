@@ -82,6 +82,12 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
         )
+    # Materialize the edge projection ONCE: four consumers follow (both
+    # node-set unions, the out-degree aggregation, the partitioned copy),
+    # and when the edge list derives from an expensive upstream chain
+    # (html → links → domain graph) each consumer would re-run it. The
+    # edge list is graph-sized — bounded, unlike the corpus it came from.
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -102,11 +108,15 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
-        # dangling mass: total rank sitting on nodes with no out-edges
-        dang = (
+        # dangling mass (total rank on nodes with no out-edges) rides as a
+        # one-row frame cross-joined into the update — NOT a driver-side
+        # .first(): a blocking scalar collect per iteration serializes the
+        # loop on driver round-trips, and at 20 iterations on a real
+        # cluster those round-trips dominate. One job per iteration (the
+        # checkpoint) executes everything.
+        dang_df = (
             ranks.join(outdeg, on=ranks["node"] == outdeg["src"], how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             ewd.join(ranks, on=ewd["src"] == ranks["node"])
@@ -115,12 +125,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, on=nodes["node"] == contrib["dst"], how="left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dang / n))
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -222,9 +222,9 @@ class TestPageRankEdgeReuse:
         # pagerank persists nodes + the src-partitioned edge frame
         # internally and MUST release both on exit (a leaked EDGE-scale
         # cache accumulates across pipeline stages). What may remain are
-        # only the per-iteration localCheckpoint blocks — NODE-sized
-        # (two columns per node), at most iterations + 1 of them, and
+        # only the localCheckpoint blocks — the edge projection plus the
+        # NODE-sized per-iteration rank frames, at most iterations + 2,
         # reclaimed by the ContextCleaner when their Datasets drop (the
         # same convention as connected_components' per-round checkpoints).
         after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        assert after - before <= 2 + 1  # iterations + 1, never the 2 persists
+        assert after - before <= 2 + 2  # iterations + 2, never the 2 persists
