@@ -1467,6 +1467,19 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (graph/hits.py) vs a
+    chained half-step + L2-normalization CTE oracle."""
+    from sssom_curator_spark.graph.hits import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 3000).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
+    )
+    return hits(edges, iterations=5)
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (graph/triangles.py) via degree-ordered
     orientation — wedge blowup capped at O(√m) out-degree regardless of
@@ -1709,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "group_topk_sample": q_group_topk_sample,
         "triangle_counts": q_triangle_counts,
+        "hits": q_hits,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1832,6 +1846,54 @@ links AS MATERIALIZED (
          regexp_extract(ts[i], '{_LINK_RE_SQL}', 2) AS anchor
   FROM tags, UNNEST(generate_series(1, len(ts))) AS u(i)
 )"""
+
+
+def _hits_oracle_sql(base_body: str, *, iterations: int = 5) -> str:
+    """Replays graph/hits.py: per iteration one authority half-step and
+    one hub half-step, each L2-normalized via a one-row CTE. MATERIALIZED
+    throughout (each frame has multiple consumers)."""
+    parts = [
+        f"""base AS MATERIALIZED ({base_body}),
+nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes)"""
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(s.a, CAST(0 AS DOUBLE)) AS authority
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS a
+    FROM base e JOIN h{k} h ON h.node = e.src GROUP BY e.dst
+  ) s ON s.node = n.node
+),
+an{k} AS MATERIALIZED (
+  SELECT sqrt(sum(authority * authority)) AS nrm FROM ar{k}
+),
+a{k + 1} AS MATERIALIZED (
+  SELECT node, CASE WHEN nrm > 0 THEN authority / nrm ELSE 0 END AS authority
+  FROM ar{k} CROSS JOIN an{k}
+),
+hr{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(s.h, CAST(0 AS DOUBLE)) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.authority) AS h
+    FROM base e JOIN a{k + 1} a ON a.node = e.dst GROUP BY e.src
+  ) s ON s.node = n.node
+),
+hn{k} AS MATERIALIZED (SELECT sqrt(sum(hub * hub)) AS nrm FROM hr{k}),
+h{k + 1} AS MATERIALIZED (
+  SELECT node, CASE WHEN nrm > 0 THEN hub / nrm ELSE 0 END AS hub
+  FROM hr{k} CROSS JOIN hn{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.node, round(h.hub + 1e-9, 6) AS hub,
+       round(a.authority + 1e-9, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
+    )
 
 
 def _pagerank_oracle_sql(
@@ -2447,6 +2509,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf DESC, token ASC
             LIMIT 25
         """,
+        "hits": _hits_oracle_sql(
+            """
+  SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey % 60 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 3000
+""",
+            iterations=5,
+        ),
         "triangle_counts": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS s,

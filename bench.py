@@ -83,6 +83,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "transitive_closure",
         "pagerank",
         "triangle_counts",
+        "hits",
         "extract_links",
         "domain_rank",
         "anchor_grounding",

@@ -1,0 +1,109 @@
+"""Fixed-iteration HITS (hubs & authorities) over a directed link graph.
+
+Kleinberg's complement to PageRank: authorities are pages pointed AT by
+good hubs, hubs point TO good authorities — on a web crawl the pair
+separates content pages from directory/navigation pages, a signal the
+flat PageRank score conflates. Fixed iteration count keeps the result
+deterministic and SQL-replayable (one CTE pair per iteration in the
+DuckDB oracle), exactly like :mod:`sssom_curator_spark.graph.pagerank`.
+
+Scale shape mirrors pagerank: the deduplicated edge list is checkpointed
+once and its src-partitioned persisted copy feeds every iteration; each
+half-step is one equi-join + map-side-partial sum keyed on the receiving
+endpoint (a 10M-in-degree hub never materializes its edge list in one
+task); the L2 normalizer rides as a one-row broadcast frame — no driver
+round-trip per iteration; per-step ``localCheckpoint`` keeps plans flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sssom_curator_spark.operators.textstats import stable_round
+
+__all__ = ["hits"]
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """``(node, hub, authority)`` for every endpoint. Parallel edges
+    collapse; self-loops count. Scores start at 1 and are L2-normalized
+    after every update (the standard formulation), so results are
+    independent of graph size units. ``round_to`` rounds only the final
+    frame."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    ep = e.repartition("src").persist()
+    ep.count()
+
+    def _l2(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_norm"))
+        return (
+            df.crossJoin(F.broadcast(norm))
+            .select(
+                "node",
+                F.when(F.col("_norm") > 0, F.col(col) / F.col("_norm"))
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+    auths = nodes.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(iterations):
+        a_raw = (
+            ep.join(hubs, on=ep["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auths = _l2(
+            nodes.join(a_raw, on=nodes["node"] == a_raw["dst"], how="left").select(
+                "node", F.coalesce("_a", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        ).localCheckpoint()
+        h_raw = (
+            ep.join(auths, on=ep["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("_h"))
+        )
+        hubs = _l2(
+            nodes.join(h_raw, on=nodes["node"] == h_raw["src"], how="left").select(
+                "node", F.coalesce("_h", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint()
+    out = hubs.join(auths, on="node")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            stable_round(F.col("hub"), round_to).alias("hub"),
+            stable_round(F.col("authority"), round_to).alias("authority"),
+        )
+    out = out.localCheckpoint()
+    nodes.unpersist()
+    ep.unpersist()
+    return out

@@ -214,3 +214,60 @@ class TestTriangleCounts:
         df = spark.createDataFrame(edges, "src string, dst string")
         got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
         assert got == self._oracle(edges)
+
+
+class TestHits:
+    @staticmethod
+    def _oracle(edges, *, iterations=5):
+        import math
+
+        e = sorted(set(edges))
+        nodes = sorted({a for a, _ in e} | {b for _, b in e})
+        hub = {v: 1.0 for v in nodes}
+        auth = {v: 1.0 for v in nodes}
+
+        def l2(d):
+            nrm = math.sqrt(sum(x * x for x in d.values()))
+            return {k: (x / nrm if nrm > 0 else 0.0) for k, x in d.items()}
+
+        for _ in range(iterations):
+            auth = l2({v: sum(hub[a] for a, b in e if b == v) for v in nodes})
+            hub = l2({v: sum(auth[b] for a, b in e if a == v) for v in nodes})
+        return hub, auth
+
+    def test_hub_authority_split(self, spark):
+        from sssom_curator_spark.graph.hits import hits
+
+        # directory page d links to content pages c1..c3; c-pages link
+        # to each other sparsely
+        edges = [
+            ("d", "c1"), ("d", "c2"), ("d", "c3"),
+            ("c1", "c2"), ("c3", "c2"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+        hub, auth = self._oracle(edges)
+        for v in hub:
+            assert got[v][0] == pytest.approx(hub[v], abs=2e-6)
+            assert got[v][1] == pytest.approx(auth[v], abs=2e-6)
+        # the directory is the best hub, c2 the best authority
+        assert got["d"][0] == max(g[0] for g in got.values())
+        assert got["c2"][1] == max(g[1] for g in got.values())
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.hits import hits
+
+        rng = random.Random(5)
+        edges = list({(f"v{rng.randrange(15)}", f"v{rng.randrange(15)}") for _ in range(50)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iterations=4).collect()}
+        hub, auth = self._oracle(edges, iterations=4)
+        for v in hub:
+            assert got[v][0] == pytest.approx(hub[v], abs=2e-6)
+            assert got[v][1] == pytest.approx(auth[v], abs=2e-6)
+
+    def test_empty(self, spark):
+        from sssom_curator_spark.graph.hits import hits
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert hits(df).count() == 0
