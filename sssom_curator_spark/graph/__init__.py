@@ -1,7 +1,16 @@
-"""Graph operators: connected components, transitive closure, PageRank."""
+"""Graph operators: connected components, transitive closure, PageRank,
+HITS, triangle counting."""
 
 from sssom_curator_spark.graph.closure import transitive_closure
 from sssom_curator_spark.graph.components import connected_components
+from sssom_curator_spark.graph.hits import hits
 from sssom_curator_spark.graph.pagerank import pagerank
+from sssom_curator_spark.graph.triangles import triangle_counts
 
-__all__ = ["connected_components", "pagerank", "transitive_closure"]
+__all__ = [
+    "connected_components",
+    "hits",
+    "pagerank",
+    "transitive_closure",
+    "triangle_counts",
+]
