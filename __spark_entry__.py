@@ -1467,6 +1467,22 @@ def q_unstable_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(neg), on=["u", "v"], how="inner").select("r", "u", "v")
 
 
+def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the domain link graph: rank mass flows
+    proportionally to n_links per edge (graph/pagerank.py weight=)."""
+    from sssom_curator_spark.graph.pagerank import pagerank
+    from sssom_curator_spark.operators.weblinks import extract_links, link_graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lg = link_graph(extract_links(_link_pages(docs)))
+    edges = lg.select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        "n_links",
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (graph/hits.py) vs a
     chained half-step + L2-normalization CTE oracle."""
@@ -1723,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk_sample": q_group_topk_sample,
         "triangle_counts": q_triangle_counts,
         "hits": q_hits,
+        "domain_rank_weighted": q_domain_rank_weighted,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1897,7 +1914,12 @@ FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
 
 
 def _pagerank_oracle_sql(
-    base_body: str, *, pre_ctes: str = "", iterations: int = 5, damping: float = 0.85
+    base_body: str,
+    *,
+    pre_ctes: str = "",
+    iterations: int = 5,
+    damping: float = 0.85,
+    weighted: bool = False,
 ) -> str:
     """One CTE chain per power iteration — replays graph/pagerank.py
     exactly (uniform init, damped contributions, dangling-mass
@@ -1907,11 +1929,15 @@ def _pagerank_oracle_sql(
     referenced by THREE consumers (d{k}, c{k}, r{k+1}) and DuckDB would
     otherwise re-inline the whole chain exponentially."""
     d = f"CAST({damping} AS DOUBLE)"
+    # weighted: base_body must also produce a DOUBLE column w (pre-summed
+    # per distinct edge); rank flows proportionally to w
+    deg_expr = "sum(w)" if weighted else "count(*)"
+    num = "r.rank * b.w" if weighted else "r.rank"
     parts = [
         f"""{pre_ctes}base AS MATERIALIZED ({base_body}),
 nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
 nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM base GROUP BY src),
+outdeg AS MATERIALIZED (SELECT src, {deg_expr} AS deg FROM base GROUP BY src),
 r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nc.n AS rank FROM nodes CROSS JOIN nc)"""
     ]
     for k in range(iterations):
@@ -1921,7 +1947,7 @@ r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nc.n AS rank FROM nodes CRO
   WHERE node NOT IN (SELECT src FROM base)
 ),
 c{k} AS MATERIALIZED (
-  SELECT b.dst AS node, sum(r.rank / o.deg) AS contrib
+  SELECT b.dst AS node, sum({num} / o.deg) AS contrib
   FROM base b JOIN r{k} r ON r.node = b.src JOIN outdeg o ON o.src = b.src
   GROUP BY b.dst
 ),
@@ -2509,6 +2535,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf DESC, token ASC
             LIMIT 25
         """,
+        "domain_rank_weighted": _pagerank_oracle_sql(
+            """
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT
+      regexp_extract(lower(regexp_extract(url, '://([^/]+)', 1)),
+                     '[^.]+\\.[^.]+$', 0) AS src,
+      regexp_extract(lower(regexp_extract(href, '://([^/]+)', 1)),
+                     '[^.]+\\.[^.]+$', 0) AS dst
+    FROM links
+  ) GROUP BY src, dst
+""",
+            pre_ctes=_LINKS_CTES + ",\n",
+            iterations=3,
+            damping=0.85,
+            weighted=True,
+        ),
         "hits": _hits_oracle_sql(
             """
   SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
