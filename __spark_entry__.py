@@ -1483,6 +1483,16 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles via value histogram (operators/sketches.py)
+    — corpus work is one value-keyed shuffle; everything downstream is
+    cardinality-sized."""
+    from sssom_curator_spark.operators.sketches import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars", [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (graph/hits.py) vs a
     chained half-step + L2-normalization CTE oracle."""
@@ -1740,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "hits": q_hits,
         "domain_rank_weighted": q_domain_rank_weighted,
+        "exact_quantiles": q_exact_quantiles,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2534,6 +2545,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "exact_quantiles": """
+            WITH h AS MATERIALIZED (
+              SELECT n_chars AS v, count(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY n_chars
+            ),
+            cum AS MATERIALIZED (
+              SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+              FROM h
+            ),
+            t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM h),
+            qs AS (
+              SELECT CAST(unnest([0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS q
+            )
+            SELECT q, min(v) AS value
+            FROM qs CROSS JOIN t JOIN cum ON cum >= ceil(q * total)
+            GROUP BY q
         """,
         "domain_rank_weighted": _pagerank_oracle_sql(
             """

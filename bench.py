@@ -79,11 +79,13 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "range_join",
         "hypertable_rollup",
         "kmins_distinct",
+        "exact_quantiles",
         "connected_components",
         "transitive_closure",
         "pagerank",
         "triangle_counts",
         "hits",
+        "domain_rank_weighted",
         "extract_links",
         "domain_rank",
         "anchor_grounding",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmins_distinct"]
+__all__ = ["kmins_distinct", "exact_quantiles"]
 
 #: 2^32 — the hash-slice value space
 _SPACE = 4294967296.0
@@ -74,4 +74,53 @@ def kmins_distinct(
         group_col,
         "n_rows",
         F.floor(est * 1e6).cast("long").alias("distinct_est_micro"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """EXACT discrete quantiles of a bounded-cardinality metric column —
+    the threshold calculator behind corpus quality cuts ("drop the
+    bottom 5% by token count", "cap at p99 length"), where
+    ``percentile_approx``'s error bars move the cut line between runs.
+
+    Semantics (replayed verbatim by the DuckDB oracle): for each q, the
+    smallest value whose cumulative count reaches ``ceil(q · N)`` —
+    discrete lower-interpolation over non-NULL values. Output:
+    ``(q, value)``.
+
+    Scale contract: the plan aggregates the corpus to a VALUE HISTOGRAM
+    first (one shuffle on the value key, map-side partial counts), so
+    everything after the first exchange is sized by the metric's
+    CARDINALITY, not the corpus — exact quantiles of integer metrics
+    (token counts, byte lengths, scores in fixed decimals) are cheap at
+    any corpus size. The cumulative window DOES order the histogram on a
+    single reducer: that is histogram-sized by design; for genuinely
+    continuous unbounded columns use ``percentile_approx`` instead (this
+    operator would degenerate to a global sort).
+    """
+    from pyspark.sql import Window
+
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    hist = (
+        df.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(w).alias("cum"))
+    total = hist.agg(F.sum("c").cast("double").alias("total"))
+    qs = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    )
+    return (
+        qs.crossJoin(F.broadcast(total))
+        .join(cum, on=F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("v").alias("value"))
     )

@@ -1,6 +1,7 @@
 """k-mins distinct sketch (operators/sketches.py)."""
 
 from __future__ import annotations
+import pytest
 
 
 class TestKminsDistinct:
@@ -62,3 +63,33 @@ class TestKminsDistinct:
         exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
         assert len(exchanges) == 1  # map-side partial mins, one shuffle
         assert "Window" not in plan  # no per-group sort anywhere
+
+
+class TestExactQuantiles:
+    def test_matches_python_oracle(self, spark):
+        import math
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.sketches import exact_quantiles
+
+        vals = [1, 1, 2, 3, 3, 3, 7, 10, 10, 50] * 3
+        df = spark.createDataFrame(pd.DataFrame({"x": vals + [None]}))
+        qs = [0.1, 0.25, 0.5, 0.9, 1.0]
+        got = {r["q"]: r["value"] for r in exact_quantiles(df, "x", qs).collect()}
+
+        s = sorted(vals)
+        want = {q: s[math.ceil(q * len(s)) - 1] for q in qs}
+        assert got == want
+        assert got[1.0] == 50  # q=1 is the maximum
+
+    def test_validation(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.sketches import exact_quantiles
+
+        df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+        with pytest.raises(ValueError):
+            exact_quantiles(df, "x", [0.0, 0.5])
+        with pytest.raises(ValueError):
+            exact_quantiles(df, "x", [])
