@@ -53,9 +53,11 @@ def hits(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        out = nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
-        )
+        ).localCheckpoint()
+        nodes.unpersist()
+        return out
     ep = e.repartition("src").persist()
     ep.count()
 

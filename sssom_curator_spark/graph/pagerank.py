@@ -97,7 +97,9 @@ def pagerank(
     )
     n = nodes.count()  # also pins the node cache
     if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        out = nodes.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
+        nodes.unpersist()
+        return out
 
     outdeg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
     # One persisted, src-partitioned copy of (src, dst, _w, _deg): every
