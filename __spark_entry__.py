@@ -1483,6 +1483,20 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighborhood Jaccard (graph/neighbors.py) — the
+    entity-resolution-by-co-mapping signal; threshold prunes the pair
+    stream, hub capping exercised in pytest."""
+    from sssom_curator_spark.graph.neighbors import neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 1500).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
+    )
+    return neighbor_jaccard(edges, threshold=0.2)
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles via value histogram (operators/sketches.py)
     — corpus work is one value-keyed shuffle; everything downstream is
@@ -1751,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "domain_rank_weighted": q_domain_rank_weighted,
         "exact_quantiles": q_exact_quantiles,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2545,6 +2560,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "neighbor_jaccard": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT 'p' || CAST(l_orderkey % 40 AS VARCHAR) AS s,
+                              'p' || CAST(l_partkey % 40 AS VARCHAR) AS t
+              FROM lineitem WHERE l_orderkey < 1500
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+              FROM e0 WHERE s <> t
+            ),
+            adj AS MATERIALIZED (
+              SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und
+            ),
+            deg AS MATERIALIZED (SELECT m, count(*) AS d FROM adj GROUP BY m),
+            common AS (
+              SELECT a.m AS node_a, b.m AS node_b, count(*) AS common
+              FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+              GROUP BY 1, 2
+            )
+            SELECT c.node_a, c.node_b, c.common,
+                   round(c.common / (da.d + db.d - c.common) + 1e-9, 6) AS jaccard
+            FROM common c
+            JOIN deg da ON da.m = c.node_a
+            JOIN deg db ON db.m = c.node_b
+            -- filter on the ROUNDED value, exactly like the Spark side
+            WHERE round(c.common / (da.d + db.d - c.common) + 1e-9, 6) >= 0.2
         """,
         "exact_quantiles": """
             WITH h AS MATERIALIZED (

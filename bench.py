@@ -86,6 +86,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "triangle_counts",
         "hits",
         "domain_rank_weighted",
+        "neighbor_jaccard",
         "extract_links",
         "domain_rank",
         "anchor_grounding",

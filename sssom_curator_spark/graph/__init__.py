@@ -1,15 +1,17 @@
 """Graph operators: connected components, transitive closure, PageRank,
-HITS, triangle counting."""
+HITS, triangle counting, neighborhood similarity."""
 
 from sssom_curator_spark.graph.closure import transitive_closure
 from sssom_curator_spark.graph.components import connected_components
 from sssom_curator_spark.graph.hits import hits
+from sssom_curator_spark.graph.neighbors import neighbor_jaccard
 from sssom_curator_spark.graph.pagerank import pagerank
 from sssom_curator_spark.graph.triangles import triangle_counts
 
 __all__ = [
     "connected_components",
     "hits",
+    "neighbor_jaccard",
     "pagerank",
     "transitive_closure",
     "triangle_counts",

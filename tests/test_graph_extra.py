@@ -271,3 +271,73 @@ class TestHits:
 
         df = spark.createDataFrame([], "src string, dst string")
         assert hits(df).count() == 0
+
+
+class TestNeighborJaccard:
+    @staticmethod
+    def _oracle(edges):
+        from itertools import combinations
+
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nbrs = {}
+        for a, b in und:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        out = {}
+        for x, y in combinations(sorted(nbrs), 2):
+            inter = len(nbrs[x] & nbrs[y])
+            if inter:
+                out[(x, y)] = (inter, round(inter / len(nbrs[x] | nbrs[y]), 6))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        from sssom_curator_spark.graph.neighbors import neighbor_jaccard
+
+        edges = [
+            # a and b share neighbors {x, y}; a also sees z
+            ("a", "x"), ("a", "y"), ("a", "z"),
+            ("b", "x"), ("b", "y"),
+            ("z", "x"),
+            ("q", "q"),          # self loop dropped
+            ("x", "a"),          # reverse duplicate
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+            for r in neighbor_jaccard(df).collect()
+        }
+        want = self._oracle(edges)
+        assert got == want
+        assert got[("a", "b")][0] == 2
+
+    def test_max_degree_lower_bounds(self, spark):
+        from sssom_curator_spark.graph.neighbors import neighbor_jaccard
+
+        # hub h connects to everyone; p and q ALSO share n
+        edges = [("h", w) for w in ("p", "q", "r", "s", "t")] + [
+            ("p", "n"), ("q", "n")
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        full = {
+            (r["node_a"], r["node_b"]): r["common"]
+            for r in neighbor_jaccard(df).collect()
+        }
+        capped = {
+            (r["node_a"], r["node_b"]): r["common"]
+            for r in neighbor_jaccard(df, max_degree=4).collect()
+        }
+        # with the hub dropped from wedges, only the n-witnessed pair survives
+        assert full[("p", "q")] == 2 and capped[("p", "q")] == 1
+        assert ("r", "s") in full and ("r", "s") not in capped
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.neighbors import neighbor_jaccard
+
+        rng = random.Random(31)
+        edges = list({(f"v{rng.randrange(16)}", f"v{rng.randrange(16)}") for _ in range(60)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+            for r in neighbor_jaccard(df).collect()
+        }
+        assert got == self._oracle(edges)
