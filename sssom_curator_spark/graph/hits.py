@@ -62,9 +62,15 @@ def hits(
     ep.count()
 
     def _l2(df: DataFrame, col: str) -> DataFrame:
-        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_norm"))
+        # Checkpoint the RAW half-step, not the normalized one: the raw
+        # frame (an edge-sized join + aggregate) has two consumers — the
+        # norm aggregate and the normalized projection — and would
+        # otherwise execute twice inside the materialization job. The
+        # normalized frame is a lazy division over checkpoint blocks.
+        raw = df.localCheckpoint()
+        norm = raw.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_norm"))
         return (
-            df.crossJoin(F.broadcast(norm))
+            raw.crossJoin(F.broadcast(norm))
             .select(
                 "node",
                 F.when(F.col("_norm") > 0, F.col(col) / F.col("_norm"))
@@ -86,7 +92,7 @@ def hits(
                 "node", F.coalesce("_a", F.lit(0.0)).alias("authority")
             ),
             "authority",
-        ).localCheckpoint()
+        )
         h_raw = (
             ep.join(auths, on=ep["dst"] == auths["node"])
             .groupBy("src")
@@ -97,7 +103,7 @@ def hits(
                 "node", F.coalesce("_h", F.lit(0.0)).alias("hub")
             ),
             "hub",
-        ).localCheckpoint()
+        )
     out = hubs.join(auths, on="node")
     if round_to is not None:
         out = out.select(
