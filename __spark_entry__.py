@@ -2602,7 +2602,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(unnest([0.05, 0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS q
             )
             SELECT q, min(v) AS value
-            FROM qs CROSS JOIN t JOIN cum ON cum >= ceil(q * total)
+            FROM qs CROSS JOIN t JOIN cum ON cum >= ceil(q * total - 1e-9)
             GROUP BY q
         """,
         "domain_rank_weighted": _pagerank_oracle_sql(

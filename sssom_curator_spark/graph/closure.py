@@ -49,12 +49,16 @@ def transitive_closure(
     max_iterations: int = 20,
     max_pairs: int | None = None,
 ) -> DataFrame:
-    """All pairs ``(src, dst)`` with a directed path of length ≥ 1.
+    """All pairs ``(src, dst)`` connected by a directed path of length
+    ≥ 1 through the SELF-LOOP-FREE projection of the input.
 
-    Output columns are always named ``src``/``dst``; self-pairs reachable
-    only through cycles ARE emitted (a → b → a yields (a, a)), matching
-    the standard recursive-CTE semantics the DuckDB oracle replays —
-    trivial zero-length self-pairs are NOT.
+    Output columns are always named ``src``/``dst``. Direct self-loop
+    edges (a → a) are dropped up front — reflexive edges carry no
+    hierarchy information in the skos:broader/subClassOf graphs this
+    operator targets — so (a, a) appears in the output ONLY when a is on
+    a genuine cycle through other nodes (a → b → a). The DuckDB oracle
+    filters base self-loops identically, and both behaviors are pinned
+    in ``tests/test_graph_extra.py::TestTransitiveClosure``.
 
     ``max_iterations`` bounds rounds (path length ≤ 2^rounds — 20 rounds
     covers diameter 10^6); ``max_pairs``, when set, raises ``ValueError``

@@ -8,7 +8,9 @@ deterministic and SQL-replayable (one CTE pair per iteration in the
 DuckDB oracle), exactly like :mod:`sssom_curator_spark.graph.pagerank`.
 
 Scale shape mirrors pagerank: the deduplicated edge list is checkpointed
-once and its src-partitioned persisted copy feeds every iteration; each
+once and persisted TWICE — src-partitioned for the authority half-step,
+dst-partitioned for the hub half-step, so neither direction re-shuffles
+edges per iteration; each
 half-step is one equi-join + map-side-partial sum keyed on the receiving
 endpoint (a 10M-in-degree hub never materializes its edge list in one
 task); the L2 normalizer rides as a one-row broadcast frame — no driver
@@ -58,8 +60,13 @@ def hits(
         ).localCheckpoint()
         nodes.unpersist()
         return out
-    ep = e.repartition("src").persist()
-    ep.count()
+    # TWO persisted edge copies, one per half-step key: the authority step
+    # joins on src, the hub step on dst — a single src-partitioned copy
+    # would force an edge-sized re-shuffle by dst every iteration.
+    ep_src = e.repartition("src").persist()
+    ep_src.count()
+    ep_dst = e.repartition("dst").persist()
+    ep_dst.count()
 
     def _l2(df: DataFrame, col: str) -> DataFrame:
         # Checkpoint the RAW half-step, not the normalized one: the raw
@@ -83,7 +90,7 @@ def hits(
     auths = nodes.select("node", F.lit(1.0).alias("authority"))
     for _ in range(iterations):
         a_raw = (
-            ep.join(hubs, on=ep["src"] == hubs["node"])
+            ep_src.join(hubs, on=ep_src["src"] == hubs["node"])
             .groupBy("dst")
             .agg(F.sum("hub").alias("_a"))
         )
@@ -94,7 +101,7 @@ def hits(
             "authority",
         )
         h_raw = (
-            ep.join(auths, on=ep["dst"] == auths["node"])
+            ep_dst.join(auths, on=ep_dst["dst"] == auths["node"])
             .groupBy("src")
             .agg(F.sum("authority").alias("_h"))
         )
@@ -113,5 +120,6 @@ def hits(
         )
     out = out.localCheckpoint()
     nodes.unpersist()
-    ep.unpersist()
+    ep_src.unpersist()
+    ep_dst.unpersist()
     return out

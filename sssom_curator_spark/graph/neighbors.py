@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sssom_curator_spark.graph._edges import undirected_edges
 from sssom_curator_spark.operators.textstats import stable_round
 
 __all__ = ["neighbor_jaccard"]
@@ -42,23 +43,17 @@ def neighbor_jaccard(
     neighborhoods (direction/multiplicity collapse; self-loops dropped;
     a node is never its own neighbor). Pairs below ``threshold`` are
     filtered; ``node_a < node_b``."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(
-            F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
-        )
-        .distinct()
-        .localCheckpoint()  # adjacency feeds degrees AND both wedge sides
-    )
+    und = undirected_edges(edges, src, dst)
     adj = und.select(F.col("u").alias("n"), F.col("v").alias("m")).union(
         und.select(F.col("v"), F.col("u"))
     )
-    deg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("d"))
+    # node-sized with THREE consumers (hub filter + both degree joins) —
+    # materialize once instead of re-running the adjacency aggregation
+    deg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     wedge_src = adj
     if max_degree is not None:
+        # derived from the deg checkpoint: the count below scans node-sized
+        # materialized blocks, not the corpus-shaped aggregation
         hubs = deg.filter(F.col("d") > max_degree).select(F.col("m").alias("n"))
         n_hubs = hubs.count()
         if n_hubs:

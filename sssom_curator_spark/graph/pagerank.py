@@ -106,6 +106,12 @@ def pagerank(
     # iteration reads these cached partitions; only ranks shuffle per round.
     ewd = e.join(outdeg, on="src").repartition("src").persist()
     ewd.count()
+    # WHICH nodes dangle is loop-invariant (only their rank mass changes):
+    # materialize the node-sized dangling set once instead of re-running
+    # the edge-sized out-degree aggregation + anti-join every iteration.
+    dangling = nodes.join(
+        outdeg, on=nodes["node"] == outdeg["src"], how="left_anti"
+    ).localCheckpoint()
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
@@ -117,7 +123,7 @@ def pagerank(
         # cluster those round-trips dominate. One job per iteration (the
         # checkpoint) executes everything.
         dang_df = (
-            ranks.join(outdeg, on=ranks["node"] == outdeg["src"], how="left_anti")
+            ranks.join(dangling, on="node", how="left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (

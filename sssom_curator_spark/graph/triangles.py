@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sssom_curator_spark.graph._edges import undirected_edges
+
 __all__ = ["triangle_counts"]
 
 
@@ -33,23 +35,15 @@ def triangle_counts(
     triangle report 0). Direction and multiplicity of the input are
     ignored — parallel/reverse duplicates collapse to one undirected
     edge."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(
-            F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
-        )
-        .distinct()
-        .localCheckpoint()  # feeds the degree count AND the orientation join
-    )
+    und = undirected_edges(edges, src, dst)
     nodes = und.select(F.col("u").alias("node")).union(und.select("v")).distinct()
+    # node-sized, TWO consumers (the du and dv joins) — materialize once
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select("v"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     with_deg = und.join(
         deg.select(F.col("n").alias("u"), F.col("d").alias("du")), on="u"

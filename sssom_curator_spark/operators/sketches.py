@@ -118,9 +118,19 @@ def exact_quantiles(
     qs = df.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
     )
+    # ceil over an EPSILON-NUDGED product: q·N is irrational-in-binary for
+    # most q (0.07 · 100 = 7.000000000000001 in doubles) and a bare ceil
+    # overshoots the documented rank by one at exact rational boundaries —
+    # the one failure mode an "exact" quantile operator must not have. The
+    # nudge (1e-9 ≪ 1 count) can never cross a true integer boundary for
+    # N < 2^30-ish corpora of distinct ranks; the DuckDB oracle and the
+    # unit-test oracle apply the identical expression.
     return (
         qs.crossJoin(F.broadcast(total))
-        .join(cum, on=F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .join(
+            cum,
+            on=F.col("cum") >= F.ceil(F.col("q") * F.col("total") - F.lit(1e-9)),
+        )
         .groupBy("q")
         .agg(F.min("v").alias("value"))
     )

@@ -75,11 +75,13 @@ class TestExactQuantiles:
 
         vals = [1, 1, 2, 3, 3, 3, 7, 10, 10, 50] * 3
         df = spark.createDataFrame(pd.DataFrame({"x": vals + [None]}))
+        # 0.1 * 30 = 3.0000000000000004 in doubles: the boundary case a
+        # bare ceil() overshoots (rank 4 instead of 3)
         qs = [0.1, 0.25, 0.5, 0.9, 1.0]
         got = {r["q"]: r["value"] for r in exact_quantiles(df, "x", qs).collect()}
 
         s = sorted(vals)
-        want = {q: s[math.ceil(q * len(s)) - 1] for q in qs}
+        want = {q: s[math.ceil(q * len(s) - 1e-9) - 1] for q in qs}
         assert got == want
         assert got[1.0] == 50  # q=1 is the maximum
 
