@@ -330,3 +330,54 @@ class TestGroupTopkSample:
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "grp": ["a"]}))
         with pytest.raises(ValueError):
             group_topk_sample(df, group_cols=["grp"], k=0)
+
+
+class TestChunkDocumentsProperties:
+    """Reconstruction invariant (hypothesis): dropping each chunk's
+    leading `overlap` tokens (except the first chunk's) and concatenating
+    restores the document's exact token stream."""
+
+    def test_reconstruction(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sssom_curator_spark.operators.sampling import chunk_documents
+
+        word = st.text("abcXYZ09", min_size=1, max_size=4)
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            docs=st.lists(st.lists(word, max_size=40), min_size=1, max_size=5),
+            max_tokens=st.integers(min_value=2, max_value=12),
+            overlap=st.integers(min_value=0, max_value=11),
+        )
+        def check(docs, max_tokens, overlap):
+            if overlap >= max_tokens:
+                overlap = max_tokens - 1
+            import pandas as pd
+
+            frame = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": range(len(docs)),
+                        "text": [" ".join(ws) for ws in docs],
+                    }
+                )
+            )
+            rows = chunk_documents(
+                frame, max_tokens=max_tokens, overlap=overlap
+            ).collect()
+            by_doc = {}
+            for r in rows:
+                by_doc.setdefault(r["doc_id"], []).append(
+                    (r["chunk_id"], r["chunk_text"])
+                )
+            for i, ws in enumerate(docs):
+                chunks = [t for _, t in sorted(by_doc.get(i, []))]
+                rebuilt = []
+                for k, c in enumerate(chunks):
+                    toks = c.split(" ") if c else []
+                    rebuilt.extend(toks if k == 0 else toks[overlap:])
+                assert rebuilt == ws, (ws, chunks, max_tokens, overlap)
+
+        check()
