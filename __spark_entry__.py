@@ -1483,6 +1483,19 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous deterministic label propagation (graph/labelprop.py):
+    4 rounds of most-frequent-neighbor-label with min-label tie-break."""
+    from sssom_curator_spark.graph.labelprop import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 1500).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, iterations=4)
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-neighborhood Jaccard (graph/neighbors.py) — the
     entity-resolution-by-co-mapping signal; threshold prunes the pair
@@ -1766,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank_weighted": q_domain_rank_weighted,
         "exact_quantiles": q_exact_quantiles,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "label_propagation": q_label_propagation,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1937,6 +1951,34 @@ SELECT h.node, round(h.hub + 1e-9, 6) AS hub,
        round(a.authority + 1e-9, 6) AS authority
 FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
     )
+
+
+def _labelprop_oracle_sql(base_body: str, *, iterations: int = 4) -> str:
+    """Replays graph/labelprop.py: synchronous rounds, argmax by
+    (count DESC, label ASC) via a window row_number per node."""
+    parts = [
+        f"""e0 AS MATERIALIZED ({base_body}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM e0 WHERE s <> t
+),
+adj AS MATERIALIZED (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT n AS node, n AS label FROM adj)"""
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT a.n, l.label, count(*) AS c
+  FROM adj a JOIN l{k} l ON l.node = a.m GROUP BY a.n, l.label
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT n AS node, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n ORDER BY c DESC, label ASC) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{iterations}"
 
 
 def _pagerank_oracle_sql(
@@ -2561,6 +2603,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf DESC, token ASC
             LIMIT 25
         """,
+        "label_propagation": _labelprop_oracle_sql(
+            """
+  SELECT DISTINCT 'p' || CAST(l_orderkey % 40 AS VARCHAR) AS s,
+                  'p' || CAST(l_partkey % 40 AS VARCHAR) AS t
+  FROM lineitem WHERE l_orderkey < 1500
+""",
+            iterations=4,
+        ),
         "neighbor_jaccard": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT 'p' || CAST(l_orderkey % 40 AS VARCHAR) AS s,

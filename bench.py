@@ -87,6 +87,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "hits",
         "domain_rank_weighted",
         "neighbor_jaccard",
+        "label_propagation",
         "extract_links",
         "domain_rank",
         "anchor_grounding",

@@ -1,9 +1,10 @@
 """Graph operators: connected components, transitive closure, PageRank,
-HITS, triangle counting, neighborhood similarity."""
+HITS, triangle counting, neighborhood similarity, label propagation."""
 
 from sssom_curator_spark.graph.closure import transitive_closure
 from sssom_curator_spark.graph.components import connected_components
 from sssom_curator_spark.graph.hits import hits
+from sssom_curator_spark.graph.labelprop import label_propagation
 from sssom_curator_spark.graph.neighbors import neighbor_jaccard
 from sssom_curator_spark.graph.pagerank import pagerank
 from sssom_curator_spark.graph.triangles import triangle_counts
@@ -11,6 +12,7 @@ from sssom_curator_spark.graph.triangles import triangle_counts
 __all__ = [
     "connected_components",
     "hits",
+    "label_propagation",
     "neighbor_jaccard",
     "pagerank",
     "transitive_closure",

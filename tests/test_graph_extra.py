@@ -341,3 +341,53 @@ class TestNeighborJaccard:
             for r in neighbor_jaccard(df).collect()
         }
         assert got == self._oracle(edges)
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _oracle(edges, *, iterations=4):
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nbrs = {}
+        for a, b in und:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        label = {v: v for v in nbrs}
+        for _ in range(iterations):
+            new = {}
+            for v in nbrs:
+                counts = {}
+                for m in nbrs[v]:
+                    counts[label[m]] = counts.get(label[m], 0) + 1
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0]
+            label = new
+        return label
+
+    def test_two_cliques_one_bridge(self, spark):
+        from sssom_curator_spark.graph.labelprop import label_propagation
+
+        clique = lambda pre: [
+            (f"{pre}{i}", f"{pre}{j}") for i in range(4) for j in range(i + 1, 4)
+        ]
+        edges = clique("a") + clique("b") + [("a0", "b0")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["label"] for r in label_propagation(df).collect()}
+        want = self._oracle(edges)
+        assert got == want
+        # the two cliques keep distinct dominant labels
+        a_labels = {got[f"a{i}"] for i in range(1, 4)}
+        b_labels = {got[f"b{i}"] for i in range(1, 4)}
+        assert a_labels != b_labels
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.labelprop import label_propagation
+
+        rng = random.Random(13)
+        edges = list({(f"v{rng.randrange(20)}", f"v{rng.randrange(20)}") for _ in range(55)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for iters in (1, 3):
+            got = {
+                r["node"]: r["label"]
+                for r in label_propagation(df, iterations=iters).collect()
+            }
+            assert got == self._oracle(edges, iterations=iters), iters
