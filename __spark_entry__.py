@@ -1483,6 +1483,16 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair PMI collocation mining (operators/textstats.py):
+    phrase candidates for the grounding index; bigram total derived as
+    total_tokens - non_empty_docs (never a second pair aggregation)."""
+    from sssom_curator_spark.operators.textstats import bigram_pmi
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_pmi(docs, min_count=3)
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous deterministic label propagation (graph/labelprop.py):
     4 rounds of most-frequent-neighbor-label with min-label tie-break."""
@@ -1780,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "neighbor_jaccard": q_neighbor_jaccard,
         "label_propagation": q_label_propagation,
+        "bigram_pmi": q_bigram_pmi,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2602,6 +2613,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "bigram_pmi": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 w -> w <> '') AS t
+              FROM documents
+            ),
+            uni AS MATERIALIZED (
+              SELECT w, count(*) AS cw
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ),
+            sc AS MATERIALIZED (
+              SELECT CAST(coalesce((SELECT sum(cw) FROM uni), 0) AS DOUBLE) AS t1,
+                     CAST(coalesce((SELECT sum(cw) FROM uni), 0) AS DOUBLE)
+                       - (SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE len(t) > 0)
+                       AS t2
+            ),
+            big AS MATERIALIZED (
+              SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+              GROUP BY 1, 2
+              HAVING count(*) >= 3
+            )
+            SELECT b.w1, b.w2, b.c,
+                   round(ln((b.c / sc.t2) / ((u1.cw / sc.t1) * (u2.cw / sc.t1)))
+                         + 1e-9, 6) AS pmi
+            FROM big b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2
+            CROSS JOIN sc
         """,
         "label_propagation": _labelprop_oracle_sql(
             """

@@ -121,6 +121,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "pii_redact",
         "vocab_stats",
         "unigram_logprob",
+        "bigram_pmi",
         "tfidf_topk",
         "bpe_pairs",
         "bpe_train",

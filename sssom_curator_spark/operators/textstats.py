@@ -39,6 +39,7 @@ __all__ = [
     "bpe_encode",
     "tfidf_topk",
     "unigram_logprob_score",
+    "bigram_pmi",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -660,4 +661,89 @@ def unigram_logprob_score(
         .localCheckpoint()
     )
     vocab.unpersist()
+    return out
+
+
+def bigram_pmi(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token pairs — the
+    word2phrase-style collocation miner ("new york", "machine learning")
+    that seeds phrase vocabularies and multi-word entity candidates for
+    the grounding index.
+
+    ``pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )`` with ``p(w1,w2)`` over the
+    corpus's adjacent-pair occurrences and ``p(w)`` over token
+    occurrences; pairs with fewer than ``min_count`` occurrences are
+    dropped (PMI is notoriously noisy on rare pairs). Output:
+    ``(w1, w2, c, pmi)``, 6 dp. Tokenizes with :func:`norm_words`.
+
+    Scale shape: three corpus scans, none cached — the unigram count
+    aggregation (vocab-sized output dim, persisted), a one-scalar
+    non-empty-doc count (the number of adjacent pairs is EXACTLY
+    ``total_tokens − non_empty_docs``, so the bigram total never needs a
+    second aggregation over the pair frame), and the bigram count
+    aggregation (map-side partials collapse repeated pairs before the
+    exchange — the (w1, w2) key space cannot hot-key on a stopword pair).
+    Probability joins hit the persisted vocab dim (AQE broadcast).
+    """
+    toks = norm_words(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
+    )
+    t1 = int(uni.agg(F.coalesce(F.sum("cw"), F.lit(0))).first()[0])
+    nonempty = int(
+        df.select(F.size(toks).alias("k")).filter(F.col("k") > 0).count()
+    )
+    t2 = t1 - nonempty
+    if t2 <= 0:
+        out = uni.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, c bigint, pmi double"
+        )
+        uni.unpersist()
+        return out
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    out = (
+        big.join(u1, on="w1")
+        .join(u2, on="w2")
+        .select(
+            "w1",
+            "w2",
+            "c",
+            stable_round(
+                F.log(
+                    (F.col("c") / F.lit(float(t2)))
+                    / (
+                        (F.col("c1") / F.lit(float(t1)))
+                        * (F.col("c2") / F.lit(float(t1)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        # eager: materialize while the vocab dim is pinned, then release it
+        .localCheckpoint()
+    )
+    uni.unpersist()
     return out

@@ -818,3 +818,48 @@ class TestCrawlDiff:
             pd.DataFrame({"url": ["http://x.org/a"], "text": ["t"]})
         )
         assert crawl_diff(df, df).count() == 0
+
+
+class TestBigramPmi:
+    def test_matches_python_oracle(self, spark):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.textstats import bigram_pmi
+
+        texts = [
+            "new york is far from new jersey",
+            "new york new york",
+            "the city of new york",
+            "",
+        ]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        got = {
+            (r["w1"], r["w2"]): (r["c"], r["pmi"])
+            for r in bigram_pmi(docs, min_count=2).collect()
+        }
+
+        toks = [t.split() for t in texts]
+        uni = Counter(w for ws in toks for w in ws)
+        t1 = sum(uni.values())
+        t2 = t1 - sum(1 for ws in toks if ws)
+        pairs = Counter((ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1))
+        want = {
+            p: (c, round(math.log((c / t2) / ((uni[p[0]] / t1) * (uni[p[1]] / t1))) + 1e-9, 6))
+            for p, c in pairs.items()
+            if c >= 2
+        }
+        assert got == want
+        assert ("new", "york") in got and got[("new", "york")][0] == 4
+
+    def test_empty_corpus(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.textstats import bigram_pmi
+
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["solo"]}))
+        assert bigram_pmi(docs).count() == 0
