@@ -1483,6 +1483,27 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG edge induction from J2 mentions (operators/grounding.py):
+    unordered entity pairs co-mentioned in >= 2 documents."""
+    from sssom_curator_spark.operators.grounding import (
+        comention_edges,
+        mention_candidates_ngram,
+    )
+
+    from sssom_curator_spark.operators.textstats import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    index = vocab_stats(docs.select("doc_id", "text"), top_k=25).select(
+        F.lit("VOC").alias("prefix"),
+        F.col("token").alias("identifier"),
+        F.col("token").alias("name"),
+        F.col("token").alias("norm_text"),
+    )
+    mentions = mention_candidates_ngram(docs, index, id_col="doc_id", max_tokens=1)
+    return comention_edges(mentions, min_docs=10)
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair PMI collocation mining (operators/textstats.py):
     phrase candidates for the grounding index; bigram total derived as
@@ -1791,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "label_propagation": q_label_propagation,
         "bigram_pmi": q_bigram_pmi,
+        "comention_edges": q_comention_edges,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2613,6 +2635,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "comention_edges": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+            ),
+            g1 AS (
+              SELECT doc_id, t[i] AS gram
+              FROM toks, UNNEST(generate_series(1, len(t))) AS u(i) WHERE len(t) >= 1
+            ),
+            vt AS MATERIALIZED (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                w -> w <> '')) AS token
+              FROM documents
+            ),
+            words AS MATERIALIZED (
+              SELECT token AS w FROM (
+                SELECT token, count(*) AS tf FROM vt GROUP BY token
+                ORDER BY tf DESC, token ASC LIMIT 25
+              )
+            ),
+            ents AS MATERIALIZED (
+              SELECT DISTINCT g.doc_id, 'VOC:' || wd.w AS ent
+              FROM g1 g JOIN words wd ON g.gram = wd.w
+            )
+            SELECT a.ent AS subject_id, b.ent AS object_id, count(*) AS n_docs
+            FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.ent < b.ent
+            GROUP BY 1, 2
+            HAVING count(*) >= 10
         """,
         "bigram_pmi": """
             WITH toks AS MATERIALIZED (

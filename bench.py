@@ -129,6 +129,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "kmeans",
         "dsir_weights",
         "mention_candidates",
+        "comention_edges",
     ):
         runs = [
             _timed(

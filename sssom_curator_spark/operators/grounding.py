@@ -44,6 +44,7 @@ __all__ = [
     "all_by_all",
     "annotate_mentions",
     "mention_candidates_ngram",
+    "comention_edges",
 ]
 
 #: Default prediction predicate/justification (predict/utils.py:28-37,
@@ -295,4 +296,55 @@ def mention_candidates_ngram(
     )
     return grams.join(F.broadcast(candidates), on="gram", how="inner").select(
         "doc_id", "pos", F.col("gram").alias("surface"), "object_id", "object_label"
+    )
+
+
+def comention_edges(
+    mentions: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    entity_col: str = "object_id",
+    min_docs: int = 1,
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """KG edge induction from co-mentions: ``(subject_id, object_id,
+    n_docs)`` for every unordered entity pair mentioned together in at
+    least ``min_docs`` documents — the relation-candidate generator that
+    turns mention detection (J2) into graph edges for the canonicalize/
+    rank stages. ``subject_id < object_id``.
+
+    Scale shape: the per-document entity set dedupes first (one shuffle
+    on the doc key, map-side partials), then the pair explosion is a
+    self-equi-join on the doc key — a document mentioning k entities
+    contributes k·(k−1)/2 pairs, so ``max_entities_per_doc`` drops
+    catalog/boilerplate documents whose k² would dominate the exchange
+    (whole-document drops, counted and logged — never silent); the pair
+    count aggregation combines map-side.
+    """
+    ents = mentions.select(
+        F.col(id_col).alias("_doc"), F.col(entity_col).alias("_ent")
+    ).distinct()
+    if max_entities_per_doc is not None:
+        sizes = ents.groupBy("_doc").agg(F.count(F.lit(1)).alias("_k"))
+        hot = sizes.filter(F.col("_k") > max_entities_per_doc).select("_doc")
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "comention_edges: dropping %d documents with more than %d "
+                "distinct entities from pair induction (catalog pages "
+                "would contribute O(k^2) pairs each)",
+                n_hot,
+                max_entities_per_doc,
+            )
+        ents = ents.join(hot, on="_doc", how="left_anti")
+    a = ents.select("_doc", F.col("_ent").alias("subject_id"))
+    b = ents.select("_doc", F.col("_ent").alias("object_id"))
+    return (
+        a.join(b, on="_doc")
+        .filter(F.col("subject_id") < F.col("object_id"))
+        .groupBy("subject_id", "object_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
     )

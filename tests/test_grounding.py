@@ -178,3 +178,42 @@ class TestFusedScan:
             return got
 
         assert edges(False) == edges(True)
+
+
+class TestComentionEdges:
+    def test_pairs_and_min_docs(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.grounding import comention_edges
+
+        rows = [
+            (1, "E:a"), (1, "E:b"), (1, "E:c"),
+            (2, "E:a"), (2, "E:b"),
+            (3, "E:a"), (3, "E:a"),          # duplicate mention dedupes
+            (4, "E:c"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "object_id"]))
+        got = {
+            (r["subject_id"], r["object_id"]): r["n_docs"]
+            for r in comention_edges(df).collect()
+        }
+        assert got == {
+            ("E:a", "E:b"): 2,
+            ("E:a", "E:c"): 1,
+            ("E:b", "E:c"): 1,
+        }
+        strict = {
+            (r["subject_id"], r["object_id"]): r["n_docs"]
+            for r in comention_edges(df, min_docs=2).collect()
+        }
+        assert strict == {("E:a", "E:b"): 2}
+
+    def test_hot_doc_cap(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.grounding import comention_edges
+
+        rows = [(1, f"E:{i}") for i in range(10)] + [(2, "E:0"), (2, "E:1")]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "object_id"]))
+        capped = comention_edges(df, max_entities_per_doc=5).collect()
+        assert {(r["subject_id"], r["object_id"]) for r in capped} == {("E:0", "E:1")}
