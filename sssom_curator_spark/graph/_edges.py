@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["undirected_edges"]
+__all__ = ["symmetric_adjacency", "undirected_edges"]
 
 
 def undirected_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -24,4 +24,14 @@ def undirected_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .distinct()
         .localCheckpoint()
+    )
+
+
+def symmetric_adjacency(und: DataFrame) -> DataFrame:
+    """Both orientations of a canonical undirected edge frame as
+    ``(n, m)`` rows — the join-ready adjacency every neighborhood
+    operator consumes. Pure projection over the (checkpointed)
+    undirected frame; no shuffle."""
+    return und.select(F.col("u").alias("n"), F.col("v").alias("m")).union(
+        und.select(F.col("v"), F.col("u"))
     )

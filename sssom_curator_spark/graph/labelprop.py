@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sssom_curator_spark.graph._edges import undirected_edges
+from sssom_curator_spark.graph._edges import symmetric_adjacency, undirected_edges
 
 __all__ = ["label_propagation"]
 
@@ -41,12 +41,7 @@ def label_propagation(
     definition). Deterministic: the update is argmax by
     ``(count DESC, label ASC)``."""
     und = undirected_edges(edges, src, dst)
-    adj = (
-        und.select(F.col("u").alias("n"), F.col("v").alias("m"))
-        .union(und.select(F.col("v"), F.col("u")))
-        .repartition("m")
-        .persist()
-    )
+    adj = symmetric_adjacency(und).repartition("m").persist()
     adj.count()
     labels = adj.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

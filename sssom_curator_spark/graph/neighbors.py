@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sssom_curator_spark.graph._edges import undirected_edges
+from sssom_curator_spark.graph._edges import symmetric_adjacency, undirected_edges
 from sssom_curator_spark.operators.textstats import stable_round
 
 __all__ = ["neighbor_jaccard"]
@@ -44,9 +44,7 @@ def neighbor_jaccard(
     a node is never its own neighbor). Pairs below ``threshold`` are
     filtered; ``node_a < node_b``."""
     und = undirected_edges(edges, src, dst)
-    adj = und.select(F.col("u").alias("n"), F.col("v").alias("m")).union(
-        und.select(F.col("v"), F.col("u"))
-    )
+    adj = symmetric_adjacency(und)
     # node-sized with THREE consumers (hub filter + both degree joins) —
     # materialize once instead of re-running the adjacency aggregation
     deg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()

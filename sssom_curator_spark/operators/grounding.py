@@ -321,9 +321,15 @@ def comention_edges(
     (whole-document drops, counted and logged — never silent); the pair
     count aggregation combines map-side.
     """
-    ents = mentions.select(
-        F.col(id_col).alias("_doc"), F.col(entity_col).alias("_ent")
-    ).distinct()
+    # checkpointed: the per-doc entity set feeds the optional hot-doc
+    # count, the sizes aggregation, AND both pair-join sides — without a
+    # materialization the corpus-sized mentions distinct re-executes per
+    # consumer (the same multi-consumer rule as graph/_edges.py)
+    ents = (
+        mentions.select(F.col(id_col).alias("_doc"), F.col(entity_col).alias("_ent"))
+        .distinct()
+        .localCheckpoint()
+    )
     if max_entities_per_doc is not None:
         sizes = ents.groupBy("_doc").agg(F.count(F.lit(1)).alias("_k"))
         hot = sizes.filter(F.col("_k") > max_entities_per_doc).select("_doc")
