@@ -1551,6 +1551,24 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(docs, "n_chars", [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random walk with restart (graph/pagerank.py): teleport + dangling
+    mass return to a 3-node seed set."""
+    import pandas as pd
+
+    from sssom_curator_spark.graph.pagerank import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 3000).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"node": ["p0", "p7", "p13"]})
+    )
+    return personalized_pagerank(edges, seeds, damping=0.85, iterations=4)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration HITS hubs/authorities (graph/hits.py) vs a
     chained half-step + L2-normalization CTE oracle."""
@@ -1807,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk_sample": q_group_topk_sample,
         "triangle_counts": q_triangle_counts,
         "hits": q_hits,
+        "personalized_pagerank": q_personalized_pagerank,
         "domain_rank_weighted": q_domain_rank_weighted,
         "exact_quantiles": q_exact_quantiles,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -2012,6 +2031,61 @@ l{k + 1} AS MATERIALIZED (
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{iterations}"
+
+
+def _ppr_oracle_sql(
+    base_body: str,
+    seeds_list: str,
+    *,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Replays graph/pagerank.py personalized_pagerank: seed-uniform
+    teleport vector, dangling mass restarts at the seeds."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""base AS MATERIALIZED ({base_body}),
+nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+sseed AS MATERIALIZED (
+  SELECT DISTINCT node FROM nodes WHERE node IN ({seeds_list})
+),
+nseed AS MATERIALIZED (SELECT count(*) AS ns FROM sseed),
+tele AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM sseed)
+              THEN CAST(1 AS DOUBLE) / nseed.ns ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes n CROSS JOIN nseed
+),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM base GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, t AS rank FROM tele)"""
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dang FROM r{k}
+  WHERE node NOT IN (SELECT src FROM base)
+),
+c{k} AS MATERIALIZED (
+  SELECT b.dst AS node, sum(r.rank / o.deg) AS contrib
+  FROM base b JOIN r{k} r ON r.node = b.src JOIN outdeg o ON o.src = b.src
+  GROUP BY b.dst
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (CAST(1 AS DOUBLE) - {d}) * te.t
+           + {d} * (coalesce(c.contrib, CAST(0 AS DOUBLE)) + d{k}.dang * te.t)
+           AS rank
+  FROM nodes n
+  JOIN tele te ON te.node = n.node
+  CROSS JOIN d{k}
+  LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank + 1e-9, 6) AS rank FROM r{iterations}"
+    )
 
 
 def _pagerank_oracle_sql(
@@ -2764,6 +2838,16 @@ def oracle_sql() -> dict[str, str]:
             iterations=3,
             damping=0.85,
             weighted=True,
+        ),
+        "personalized_pagerank": _ppr_oracle_sql(
+            """
+  SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey % 60 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 3000
+""",
+            "'p0', 'p7', 'p13'",
+            iterations=4,
+            damping=0.85,
         ),
         "hits": _hits_oracle_sql(
             """

@@ -83,6 +83,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "connected_components",
         "transitive_closure",
         "pagerank",
+        "personalized_pagerank",
         "triangle_counts",
         "hits",
         "domain_rank_weighted",

@@ -6,7 +6,7 @@ from sssom_curator_spark.graph.components import connected_components
 from sssom_curator_spark.graph.hits import hits
 from sssom_curator_spark.graph.labelprop import label_propagation
 from sssom_curator_spark.graph.neighbors import neighbor_jaccard
-from sssom_curator_spark.graph.pagerank import pagerank
+from sssom_curator_spark.graph.pagerank import pagerank, personalized_pagerank
 from sssom_curator_spark.graph.triangles import triangle_counts
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "label_propagation",
     "neighbor_jaccard",
     "pagerank",
+    "personalized_pagerank",
     "transitive_closure",
     "triangle_counts",
 ]

@@ -391,3 +391,54 @@ class TestLabelPropagation:
                 for r in label_propagation(df, iterations=iters).collect()
             }
             assert got == self._oracle(edges, iterations=iters), iters
+
+
+class TestPersonalizedPageRank:
+    @staticmethod
+    def _oracle(edges, seeds, *, damping=0.85, iterations=5):
+        e = sorted(set(edges))
+        nodes = sorted({a for a, _ in e} | {b for _, b in e})
+        s = sorted(set(seeds) & set(nodes))
+        tele = {v: (1.0 / len(s) if v in s else 0.0) for v in nodes}
+        outdeg = {}
+        for a, _ in e:
+            outdeg[a] = outdeg.get(a, 0) + 1
+        rank = dict(tele)
+        for _ in range(iterations):
+            dang = sum(r for v, r in rank.items() if v not in outdeg)
+            contrib = {v: 0.0 for v in nodes}
+            for a, b in e:
+                contrib[b] += rank[a] / outdeg[a]
+            rank = {
+                v: (1 - damping) * tele[v] + damping * (contrib[v] + dang * tele[v])
+                for v in nodes
+            }
+        return rank
+
+    def test_matches_oracle_and_localizes(self, spark):
+        from sssom_curator_spark.graph.pagerank import personalized_pagerank
+
+        # the far cycle has NO inflow from the seed cluster: with seed
+        # teleportation its rank must decay toward 0
+        edges = [
+            ("s", "a"), ("a", "b"), ("b", "s"),
+            ("far1", "far2"), ("far2", "far1"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("s",), ("ghost",)], "node string")
+        got = {r["node"]: r["rank"] for r in personalized_pagerank(df, seeds).collect()}
+        want = self._oracle(edges, ["s", "ghost"])
+        for v, r in want.items():
+            assert got[v] == pytest.approx(r, abs=2e-6)
+        # mass concentrates near the seed; total is conserved
+        assert got["s"] > got["far1"] and got["a"] > got["far2"]
+        assert got["far1"] < 0.01
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_no_matching_seed_raises(self, spark):
+        from sssom_curator_spark.graph.pagerank import personalized_pagerank
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zzz",)], "node string")
+        with pytest.raises(ValueError, match="no seed"):
+            personalized_pagerank(df, seeds)
