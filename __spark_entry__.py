@@ -261,6 +261,15 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (operators/temporal.py):
+    first-event cohorts, epoch-exact week offsets, per-cohort rates."""
+    from sssom_curator_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation — F.window with a slide
     shorter than the size, so every event lands in size/slide overlapping
@@ -1812,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
+        "cohort_retention": q_cohort_retention,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "pagerank": q_pagerank,
@@ -2336,6 +2346,32 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH first AS MATERIALIZED (
+              SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY user_id
+            ),
+            rows_ AS (
+              SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+                     CAST((epoch(date_trunc('week', e.ts))
+                           - epoch(date_trunc('week', f.first_ts))) / 604800 AS BIGINT)
+                       AS week_offset,
+                     e.user_id AS usr
+              FROM events e JOIN first f ON f.u = e.user_id
+            ),
+            act AS (
+              SELECT cohort_week, week_offset, count(DISTINCT usr) AS n_users
+              FROM rows_ GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+                     count(*) AS cohort_size
+              FROM first GROUP BY 1
+            )
+            SELECT a.cohort_week, a.week_offset, a.n_users, s.cohort_size,
+                   round(a.n_users / CAST(s.cohort_size AS DOUBLE) + 1e-9, 6)
+                     AS retention
+            FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
         """,
         "hopping_window": """
             WITH e AS MATERIALIZED (

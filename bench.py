@@ -75,6 +75,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "tumbling_window",
         "hopping_window",
         "session_window",
+        "cohort_retention",
         "asof_join",
         "range_join",
         "hypertable_rollup",

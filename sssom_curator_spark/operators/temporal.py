@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "hypertable_rollup"]
+__all__ = ["asof_join", "range_join", "hypertable_rollup", "cohort_retention"]
 
 
 def asof_join(
@@ -211,3 +211,57 @@ def hypertable_rollup(
         )
         out = out.unionByName(finer.select(F.lit(lvl).alias("level"), "*"))
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the engagement matrix behind crawl-user
+    and curation-activity dashboards: users are cohorted by the ISO week
+    of their FIRST event; for every (cohort, week offset) the distinct
+    active users, the cohort size, and the retention rate.
+
+    Output: ``(cohort_week:string, week_offset:long, n_users, cohort_size,
+    retention)``; offset 0 is the cohort's own week (retention 1.0 by
+    construction). Week arithmetic is pure epoch math over
+    ``date_trunc('week')`` stamps (Monday-aligned in Spark AND DuckDB,
+    exact under the session's UTC clock) — no calendar UDFs.
+
+    Scale shape: the first-event aggregation and the activity join share
+    the user key (one shuffle, exchange reused); the distinct
+    (cohort, offset, user) plans as the hub-safe two-shuffle expand, so
+    a giant cohort cannot hot-key a reducer; the final count and the
+    cohort-size dimension join are cohort-sized.
+    """
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_first")
+    )
+    cohort = F.date_trunc("week", F.col("_first"))
+    week = F.date_trunc("week", F.col(ts_col))
+    rows = events.join(first, on=F.col(user_col) == F.col("_u")).select(
+        F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+        ((F.unix_timestamp(week) - F.unix_timestamp(cohort)) / F.lit(604800))
+        .cast("long")
+        .alias("week_offset"),
+        F.col(user_col).alias("_user"),
+    )
+    act = rows.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("_user").alias("n_users")
+    )
+    sizes = first.groupBy(
+        F.date_format(F.date_trunc("week", F.col("_first")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    from sssom_curator_spark.operators.textstats import stable_round
+
+    return act.join(sizes, on="cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        stable_round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )

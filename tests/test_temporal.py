@@ -195,3 +195,38 @@ class TestAsofNullSemantics:
         # NULL-ts right row must not leak its payload; NULL-key left row
         # must not pick up the NULL-key right row (DuckDB ASOF agrees)
         assert got == {"e1": None, "e2": None}
+
+
+class TestCohortRetention:
+    def test_matches_python_oracle(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.temporal import cohort_retention
+
+        base = dt.datetime(2024, 1, 1)  # a Monday
+        rows = [
+            # user 1: first week 0, active weeks 0, 1, 3
+            (1, base), (1, base + dt.timedelta(days=8)), (1, base + dt.timedelta(days=22)),
+            # user 2: same cohort, only week 0 (two events dedupe)
+            (2, base + dt.timedelta(days=2)), (2, base + dt.timedelta(days=3)),
+            # user 3: cohort week 1, active weeks 1 and 2
+            (3, base + dt.timedelta(days=7)), (3, base + dt.timedelta(days=15)),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"])
+        )
+        got = {
+            (r["cohort_week"], r["week_offset"]): (
+                r["n_users"], r["cohort_size"], r["retention"],
+            )
+            for r in cohort_retention(df).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): (2, 2, 1.0),
+            ("2024-01-01", 1): (1, 2, 0.5),
+            ("2024-01-01", 3): (1, 2, 0.5),
+            ("2024-01-08", 0): (1, 1, 1.0),
+            ("2024-01-08", 1): (1, 1, 1.0),
+        }
