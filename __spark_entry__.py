@@ -1790,6 +1790,24 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges)
 
 
+def q_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS with min hop distance (graph/closure.py) over the
+    layered DAG vs a depth-tracking recursive-CTE oracle."""
+    import pandas as pd
+
+    from sssom_curator_spark.graph.closure import bounded_reachability
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 2000).select(
+        F.concat(F.lit("n"), (F.col("l_orderkey") % 80).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), (F.col("l_orderkey") % 80 + F.col("l_partkey") % 7 + 1).cast("string")
+        ).alias("dst"),
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"node": ["n0", "n1", "n2"]}))
+    return bounded_reachability(edges, seeds, max_depth=4)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration damped PageRank with dangling redistribution
     (graph/pagerank.py) vs a DuckDB oracle that chains one CTE per
@@ -1824,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
+        "bounded_reachability": q_bounded_reachability,
         "pagerank": q_pagerank,
         "extract_links": q_extract_links,
         "link_graph": q_link_graph,
@@ -2395,6 +2414,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "connected_components": _CC_ORACLE,
         "transitive_closure": _TC_ORACLE,
+        "bounded_reachability": """
+            WITH RECURSIVE
+            e AS MATERIALIZED (
+              SELECT DISTINCT 'n' || CAST(l_orderkey % 80 AS VARCHAR) AS src,
+                              'n' || CAST(l_orderkey % 80 + l_partkey % 7 + 1 AS VARCHAR) AS dst
+              FROM lineitem WHERE l_orderkey < 2000
+            ),
+            gnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r(node, d) AS (
+              SELECT node, 0 FROM gnodes WHERE node IN ('n0', 'n1', 'n2')
+              UNION
+              SELECT x.dst, r.d + 1 FROM r JOIN e x ON x.src = r.node WHERE r.d < 4
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
+        """,
         "pagerank": _pagerank_oracle_sql(
             """
   SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS src,

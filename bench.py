@@ -83,6 +83,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "exact_quantiles",
         "connected_components",
         "transitive_closure",
+        "bounded_reachability",
         "pagerank",
         "personalized_pagerank",
         "triangle_counts",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["transitive_closure"]
+__all__ = ["bounded_reachability", "transitive_closure"]
 
 
 def _checksum(pairs: DataFrame) -> tuple[int, int]:
@@ -96,3 +96,64 @@ def transitive_closure(
             break
         prev = cur
     return paths
+
+
+def bounded_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    seed_col: str = "node",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded by ``max_depth`` —
+    the "ancestors/descendants up to k levels" ontology-neighborhood
+    query (the reference walks these one edge at a time with networkx,
+    predict/lexical.py:403-456). Output: ``(node, dist)`` for every node
+    reachable in ≤ ``max_depth`` directed hops, INCLUDING the matched
+    seeds at dist 0; unmatched seeds are ignored. BFS layers give the
+    true minimum distance by construction.
+
+    Scale shape: the edge list is checkpointed and persisted
+    src-partitioned once; each round joins the FRONTIER (shrinking,
+    node-sized) against it and anti-joins the visited set — per-round
+    shuffles carry only node ids. Early exit on an empty frontier, so
+    the round count is min(max_depth, eccentricity).
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    ep = e.repartition("src").persist()
+    ep.count()
+    graph_nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst"))
+    ).distinct()
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(graph_nodes, on="node", how="left_semi")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            ep.join(frontier, on=ep["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, on="node", how="left_anti")
+            .select("node", F.lit(depth).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    ep.unpersist()
+    return visited

@@ -442,3 +442,53 @@ class TestPersonalizedPageRank:
         seeds = spark.createDataFrame([("zzz",)], "node string")
         with pytest.raises(ValueError, match="no seed"):
             personalized_pagerank(df, seeds)
+
+
+class TestBoundedReachability:
+    @staticmethod
+    def _oracle(edges, seeds, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        nodes = {n for e in edges for n in e}
+        dist = {s: 0 for s in seeds if s in nodes}
+        frontier = set(dist)
+        for d in range(1, k + 1):
+            nxt = {m for n in frontier for m in adj.get(n, ()) if m not in dist}
+            for m in nxt:
+                dist[m] = d
+            frontier = nxt
+            if not frontier:
+                break
+        return dist
+
+    def test_layers_and_bound(self, spark):
+        from sssom_curator_spark.graph.closure import bounded_reachability
+
+        edges = [
+            ("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+            ("s", "b"),                      # shortcut: b is dist 1, not 2
+            ("x", "s"),                      # upstream node: not reachable
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("s",), ("missing",)], "node string")
+        got = {
+            r["node"]: r["dist"]
+            for r in bounded_reachability(df, seeds, max_depth=2).collect()
+        }
+        assert got == self._oracle(edges, ["s", "missing"], 2)
+        assert got == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.closure import bounded_reachability
+
+        rng = random.Random(17)
+        edges = list({(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(70)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        seeds = spark.createDataFrame([("v0",), ("v1",)], "node string")
+        for k in (0, 1, 4):
+            got = {
+                r["node"]: r["dist"]
+                for r in bounded_reachability(df, seeds, max_depth=k).collect()
+            }
+            assert got == self._oracle(edges, ["v0", "v1"], k), k
