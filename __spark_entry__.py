@@ -261,6 +261,15 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (operators/temporal.py):
+    greedy earliest-completion matching, per-step user-keyed min aggs."""
+    from sssom_curator_spark.operators.temporal import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over events (operators/temporal.py):
     first-event cohorts, epoch-exact week offsets, per-cohort rates."""
@@ -1591,6 +1600,19 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=5)
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled degree distribution (graph/stats.py) — the skew
+    pre-flight report for join-strategy decisions."""
+    from sssom_curator_spark.graph.stats import degree_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_orderkey") < 1500).select(
+        F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
+    )
+    return degree_histogram(edges)
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (graph/triangles.py) via degree-ordered
     orientation — wedge blowup capped at O(√m) out-degree regardless of
@@ -1840,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
         "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "bounded_reachability": q_bounded_reachability,
@@ -1853,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "group_topk_sample": q_group_topk_sample,
         "triangle_counts": q_triangle_counts,
+        "degree_histogram": q_degree_histogram,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
         "domain_rank_weighted": q_domain_rank_weighted,
@@ -2365,6 +2389,36 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "funnel": """
+            WITH s1 AS MATERIALIZED (
+              SELECT user_id AS u, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS MATERIALIZED (
+              SELECT e.user_id AS u, min(e.ts) AS t
+              FROM events e JOIN s1 ON s1.u = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS MATERIALIZED (
+              SELECT e.user_id AS u, min(e.ts) AS t
+              FROM events e JOIN s2 ON s2.u = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            ),
+            c AS (
+              SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
+            SELECT step_index, step, n_users,
+                   round(n_users / CAST((SELECT count(*) FROM s1) AS DOUBLE)
+                         + 1e-9, 6) AS conversion
+            FROM c
         """,
         "cohort_retention": """
             WITH first AS MATERIALIZED (
@@ -2927,6 +2981,29 @@ def oracle_sql() -> dict[str, str]:
 """,
             iterations=5,
         ),
+        "degree_histogram": """
+            WITH e0 AS MATERIALIZED (
+              SELECT DISTINCT 'p' || CAST(l_orderkey % 40 AS VARCHAR) AS s,
+                              'p' || CAST(l_partkey % 40 AS VARCHAR) AS t
+              FROM lineitem WHERE l_orderkey < 1500
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+              FROM e0 WHERE s <> t
+            ),
+            deg AS MATERIALIZED (
+              SELECT n, count(*) AS degree FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und
+              ) GROUP BY n
+            ),
+            hist AS (SELECT degree, count(*) AS n FROM deg GROUP BY degree),
+            grid AS (
+              SELECT unnest(generate_series(1, (SELECT max(degree) FROM deg)))
+                AS degree
+            )
+            SELECT g.degree, coalesce(h.n, 0) AS n_nodes
+            FROM grid g LEFT JOIN hist h ON h.degree = g.degree
+        """,
         "triangle_counts": """
             WITH e0 AS MATERIALIZED (
               SELECT DISTINCT 'p' || CAST(l_orderkey % 60 AS VARCHAR) AS s,

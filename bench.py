@@ -76,12 +76,14 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "hopping_window",
         "session_window",
         "cohort_retention",
+        "funnel",
         "asof_join",
         "range_join",
         "hypertable_rollup",
         "kmins_distinct",
         "exact_quantiles",
         "connected_components",
+        "degree_histogram",
         "transitive_closure",
         "bounded_reachability",
         "pagerank",

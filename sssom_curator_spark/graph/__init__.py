@@ -7,10 +7,12 @@ from sssom_curator_spark.graph.hits import hits
 from sssom_curator_spark.graph.labelprop import label_propagation
 from sssom_curator_spark.graph.neighbors import neighbor_jaccard
 from sssom_curator_spark.graph.pagerank import pagerank, personalized_pagerank
+from sssom_curator_spark.graph.stats import degree_histogram
 from sssom_curator_spark.graph.triangles import triangle_counts
 
 __all__ = [
     "bounded_reachability",
+    "degree_histogram",
     "connected_components",
     "hits",
     "label_propagation",

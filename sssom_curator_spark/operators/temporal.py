@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "hypertable_rollup", "cohort_retention"]
+__all__ = ["asof_join", "range_join", "hypertable_rollup", "cohort_retention", "funnel_conversion"]
 
 
 def asof_join(
@@ -264,4 +264,68 @@ def cohort_retention(
         "n_users",
         "cohort_size",
         stable_round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed each prefix of
+    ``steps`` IN ORDER (each step strictly after the user's earliest
+    completion of the previous one — the standard greedy matching, which
+    is optimal for existence: if any ordered assignment exists, the
+    earliest-completion chain exists). Output one row per step:
+    ``(step_index, step, n_users, conversion)`` with ``conversion``
+    relative to step 1 (6 dp; step 1 is 1.0 unless the funnel is empty).
+
+    Scale shape: one user-keyed min aggregation per step, each feeding
+    the next through a user-keyed equi-join — every exchange shares the
+    user key (Spark reuses the partitioning), and the per-step frames
+    shrink monotonically. The per-step counts ride in ONE collected
+    k-row frame; no per-user data ever reaches the driver.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    spark = events.sparkSession
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint()
+    )
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"))
+            .join(cur, on="_u")
+            .filter(F.col("_ts") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+            .localCheckpoint()
+        )
+        counts.append(nxt.count())
+        cur = nxt
+    base = counts[0]
+    import pandas as pd
+
+    from sssom_curator_spark.operators.textstats import ROUND_EPS
+
+    pdf = pd.DataFrame(
+        {
+            "step_index": range(1, len(steps) + 1),
+            "step": steps,
+            "n_users": counts,
+            "conversion": [
+                round(c / base + ROUND_EPS, 6) if base else 0.0 for c in counts
+            ],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "step_index long, step string, n_users long, conversion double"
     )

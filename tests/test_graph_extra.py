@@ -492,3 +492,20 @@ class TestBoundedReachability:
                 for r in bounded_reachability(df, seeds, max_depth=k).collect()
             }
             assert got == self._oracle(edges, ["v0", "v1"], k), k
+
+
+class TestDegreeHistogram:
+    def test_zero_filled(self, spark):
+        from sssom_curator_spark.graph.stats import degree_histogram
+
+        # star: hub degree 4, spokes degree 1; no node of degree 2 or 3
+        edges = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("a", "h")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["degree"]: r["n_nodes"] for r in degree_histogram(df).collect()}
+        assert got == {1: 4, 2: 0, 3: 0, 4: 1}
+
+    def test_empty(self, spark):
+        from sssom_curator_spark.graph.stats import degree_histogram
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert degree_histogram(df).count() == 0

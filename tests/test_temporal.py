@@ -230,3 +230,51 @@ class TestCohortRetention:
             ("2024-01-08", 0): (1, 1, 1.0),
             ("2024-01-08", 1): (1, 1, 1.0),
         }
+
+
+class TestFunnelConversion:
+    def test_ordered_matching(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.temporal import funnel_conversion
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ev(u, typ, minutes):
+            return (u, typ, t0 + dt.timedelta(minutes=minutes))
+
+        rows = [
+            # u1 completes all three in order
+            ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+            # u2 clicks BEFORE viewing: click must not count
+            ev(2, "click", 0), ev(2, "view", 5),
+            # u3 views then clicks, never purchases
+            ev(3, "view", 0), ev(3, "click", 1),
+            # u4 purchase only: not even step 1
+            ev(4, "purchase", 0),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        )
+        got = {
+            r["step"]: (r["step_index"], r["n_users"], r["conversion"])
+            for r in funnel_conversion(df, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {
+            "view": (1, 3, 1.0),
+            "click": (2, 2, round(2 / 3 + 1e-9, 6)),
+            "purchase": (3, 1, round(1 / 3 + 1e-9, 6)),
+        }
+
+    def test_empty_funnel(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.temporal import funnel_conversion
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"user_id": [1], "event_type": ["x"], "ts": [None]})
+        )
+        got = funnel_conversion(df, ["view", "click"]).collect()
+        assert [(r["n_users"], r["conversion"]) for r in got] == [(0, 0.0), (0, 0.0)]
