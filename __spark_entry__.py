@@ -1627,6 +1627,16 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py): 25 documents proportional to n_chars,
+    selected by salted-hash uniforms — deterministic across engines."""
+    from sssom_curator_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, 25, weight_col="n_chars")
+
+
 def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-group deterministic sample (operators/sampling.py):
     the smallest k salted hashes per group, partition-invariant."""
@@ -1875,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_grounding": q_anchor_grounding,
         "crawl_diff": q_crawl_diff,
         "group_topk_sample": q_group_topk_sample,
+        "weighted_sample": q_weighted_sample,
         "triangle_counts": q_triangle_counts,
         "degree_histogram": q_degree_histogram,
         "hits": q_hits,
@@ -3029,6 +3040,19 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT node, count(*) AS n_triangles FROM m GROUP BY node)
             SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
             FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+        """,
+        "weighted_sample": """
+            WITH w AS MATERIALIZED (
+              SELECT doc_id, n_chars,
+                     (CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 1.0) / 4294967296.0 AS u
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars, ln(u) / CAST(n_chars AS DOUBLE) AS k
+              FROM w ORDER BY k DESC, doc_id LIMIT 25
+            )
         """,
         "group_topk_sample": """
             WITH g AS (

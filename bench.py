@@ -120,6 +120,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "hash_split",
         "stratified_sample",
         "group_topk_sample",
+        "weighted_sample",
         "mixture_weights",
         "pack_sequences",
         "chunk_documents",

@@ -34,6 +34,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "group_topk_sample",
+    "weighted_sample",
 ]
 
 
@@ -344,4 +345,43 @@ def group_topk_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — pick ``k``
+    rows with probability proportional to ``weight_col`` (the
+    Efraimidis–Spirakis A-ES scheme: order by ``ln(u)/w`` with one
+    uniform ``u`` per row and keep the top k). The "randomness" is the
+    salted-md5 uniform of :func:`unit_hex`, so — like every selector in
+    this module — the sample is a pure function of row ids: re-runs,
+    repartitioning, and engines agree. The natural consumer is
+    importance-weighted data selection (feed DSIR weights in).
+
+    Rows with NULL or non-positive weights are excluded. Returns the
+    selected rows with all input columns.
+
+    Scale shape: the key is one map-side projection; selection is a
+    global top-k — ``TakeOrderedAndProject`` (per-partition heaps, one
+    k-sized driver merge), never a full sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(unit_hex(id_col, salt=salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .orderBy(F.desc("_es_key"), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
     )

@@ -381,3 +381,39 @@ class TestChunkDocumentsProperties:
                 assert rebuilt == ws, (ws, chunks, max_tokens, overlap)
 
         check()
+
+
+class TestWeightedSample:
+    def test_matches_python_oracle_and_bias(self, spark):
+        import hashlib
+        import math
+
+        from sssom_curator_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 100.0 if i < 10 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "w"])
+        )
+        got = {r["doc_id"] for r in weighted_sample(df, 20, weight_col="w").collect()}
+
+        def key(i, w):
+            h = int(hashlib.md5(f"wsample|{i}".encode()).hexdigest()[:8], 16)
+            u = (h + 1.0) / 2**32
+            return math.log(u) / w
+
+        want = {
+            i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]
+        }
+        assert got == want
+        assert len(got) == 20
+        # heavy-weight rows dominate the sample
+        assert len([i for i in got if i < 10]) >= 8
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from sssom_curator_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "w": [1.0, 0.0, None]})
+        )
+        got = weighted_sample(df, 5, weight_col="w").collect()
+        assert [r["doc_id"] for r in got] == [1]
