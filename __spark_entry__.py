@@ -1501,6 +1501,26 @@ def q_domain_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="n_links", damping=0.85, iterations=3)
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS deletion-neighborhood typo matching (operators/grounding.py)
+    vs a brute-force DuckDB levenshtein oracle — part names plus planted
+    single-deletion variants."""
+    from sssom_curator_spark.operators.grounding import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    names = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("norm_text")
+    ).union(
+        part.filter(F.col("p_partkey") % 7 == 0).select(
+            (F.col("p_partkey") + 1000000).alias("id"),
+            F.substring(
+                F.col("p_name"), 1, F.length("p_name") - 1
+            ).alias("norm_text"),
+        )
+    )
+    return edit_distance_pairs(names)
+
+
 def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG edge induction from J2 mentions (operators/grounding.py):
     unordered entity pairs co-mentioned in >= 2 documents."""
@@ -1896,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bigram_pmi": q_bigram_pmi,
         "comention_edges": q_comention_edges,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "canonicalize": q_canonicalize,
         "component_sizes": q_component_sizes,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -2844,6 +2865,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE df_docs >= 2
             ORDER BY tf DESC, token ASC
             LIMIT 25
+        """,
+        "edit_distance_pairs": """
+            WITH names AS MATERIALIZED (
+              SELECT p_partkey AS id, p_name AS t FROM part WHERE p_partkey < 200
+              UNION ALL
+              SELECT p_partkey + 1000000, substr(p_name, 1, len(p_name) - 1)
+              FROM part WHERE p_partkey < 200 AND p_partkey % 7 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b, a.t AS text_a, b.t AS text_b,
+                   CAST(levenshtein(a.t, b.t) AS INTEGER) AS distance
+            FROM names a JOIN names b
+              ON a.id < b.id AND levenshtein(a.t, b.t) <= 1
         """,
         "comention_edges": """
             WITH toks AS (

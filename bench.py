@@ -136,6 +136,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "dsir_weights",
         "mention_candidates",
         "comention_edges",
+        "edit_distance_pairs",
     ):
         runs = [
             _timed(

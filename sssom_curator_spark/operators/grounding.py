@@ -45,6 +45,7 @@ __all__ = [
     "annotate_mentions",
     "mention_candidates_ngram",
     "comention_edges",
+    "edit_distance_pairs",
 ]
 
 #: Default prediction predicate/justification (predict/utils.py:28-37,
@@ -354,3 +355,70 @@ def comention_edges(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def edit_distance_pairs(
+    names: DataFrame,
+    *,
+    id_col: str = "id",
+    text_col: str = "norm_text",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Typo-tolerant label matching: all pairs of names within Levenshtein
+    distance ``max_distance`` (currently 1 — the dominant real-world case:
+    single-character typos/plural variants between ontology labels).
+    Output ``(id_a, id_b, text_a, text_b, distance)`` with ``id_a < id_b``;
+    identical strings under different ids are distance 0.
+
+    Spark-first shape (FastSS deletion neighborhoods, Bocek et al. 2007):
+    every name explodes into itself plus its ``len`` single-deletion
+    variants; two names within edit distance 1 NECESSARILY share a
+    variant, so candidates come from ONE equi-self-join on the variant
+    key — never an all-pairs ``levenshtein`` cross join — and the exact
+    ``levenshtein`` verifies only the candidate set. Explode factor is
+    the name length (labels are short); variant keys are md5-hashed so
+    the shuffle carries fixed-width keys, not text.
+    """
+    if max_distance != 1:
+        raise ValueError(
+            "edit_distance_pairs implements the deletion-neighborhood "
+            f"blocking for max_distance=1 only, got {max_distance}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # variant 0 = the string itself; variant i (1-based) = drop char i
+    variants = F.concat(
+        F.array(t),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(F.substring(t, 1, i - 1), F.substr(t, i + 1)),
+        ),
+    )
+    v = names.select(
+        F.col(id_col).alias("_id"),
+        t.alias("_txt"),
+        F.explode(F.array_distinct(variants)).alias("_var"),
+    ).select("_id", "_txt", F.md5("_var").alias("_vh"))
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a._vh") == F.col("b._vh"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._txt").alias("text_a"),
+            F.col("b._txt").alias("text_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.levenshtein("text_a", "text_b").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

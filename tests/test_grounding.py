@@ -217,3 +217,63 @@ class TestComentionEdges:
         df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "object_id"]))
         capped = comention_edges(df, max_entities_per_doc=5).collect()
         assert {(r["subject_id"], r["object_id"]) for r in capped} == {("E:0", "E:1")}
+
+
+class TestEditDistancePairs:
+    def test_matches_brute_force(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.grounding import edit_distance_pairs
+
+        labels = [
+            "aspirin", "asprin",       # deletion
+            "aspirim",                 # substitution vs aspirin
+            "aspirins",                # insertion vs aspirin
+            "xanthan gum", "xanthan gun",
+            "valencene",
+            "same", "same",            # exact duplicates under two ids
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": range(len(labels)), "norm_text": labels})
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in edit_distance_pairs(df).collect()
+        }
+
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    d(i - 1, j) + 1,
+                    d(i, j - 1) + 1,
+                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            return d(len(a), len(b))
+
+        want = {
+            (i, j): lev(labels[i], labels[j])
+            for i in range(len(labels))
+            for j in range(i + 1, len(labels))
+            if lev(labels[i], labels[j]) <= 1
+        }
+        assert got == want
+        assert got[(7, 8)] == 0 and got[(0, 1)] == 1
+
+    def test_only_distance_one_supported(self, spark):
+        import pandas as pd
+
+        import pytest as _pytest
+
+        from sssom_curator_spark.operators.grounding import edit_distance_pairs
+
+        df = spark.createDataFrame(pd.DataFrame({"id": [1], "norm_text": ["x"]}))
+        with _pytest.raises(ValueError):
+            edit_distance_pairs(df, max_distance=2)
