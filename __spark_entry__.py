@@ -1542,6 +1542,15 @@ def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comention_edges(mentions, min_docs=10)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus vocabulary (textstats.py):
+    one-row least-squares slope/intercept of ln(freq) ~ ln(rank)."""
+    from sssom_curator_spark.operators.textstats import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_fit(docs, top_k=150)
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair PMI collocation mining (operators/textstats.py):
     phrase candidates for the grounding index; bigram total derived as
@@ -1915,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "label_propagation": q_label_propagation,
         "bigram_pmi": q_bigram_pmi,
+        "zipf_fit": q_zipf_fit,
         "comention_edges": q_comention_edges,
         "edit_distance_pairs": q_edit_distance_pairs,
         "canonicalize": q_canonicalize,
@@ -2906,6 +2916,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.ent < b.ent
             GROUP BY 1, 2
             HAVING count(*) >= 10
+        """,
+        "zipf_fit": """
+            WITH toks AS MATERIALIZED (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                w -> w <> '')) AS token
+              FROM documents
+            ),
+            top AS MATERIALIZED (
+              SELECT token, count(*) AS tf FROM toks GROUP BY token
+              ORDER BY tf DESC, token ASC LIMIT 150
+            ),
+            r AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, token ASC)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(tf AS DOUBLE)) AS y
+              FROM top
+            ),
+            m AS MATERIALIZED (
+              SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM r
+            )
+            SELECT n AS n_tokens_fit,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n) + 1e-9, 6)
+                     AS slope,
+                   round(sy / n
+                         - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n
+                         + 1e-9, 6) AS intercept
+            FROM m
         """,
         "bigram_pmi": """
             WITH toks AS MATERIALIZED (

@@ -128,6 +128,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "vocab_stats",
         "unigram_logprob",
         "bigram_pmi",
+        "zipf_fit",
         "tfidf_topk",
         "bpe_pairs",
         "bpe_train",

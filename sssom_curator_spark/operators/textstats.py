@@ -40,6 +40,7 @@ __all__ = [
     "tfidf_topk",
     "unigram_logprob_score",
     "bigram_pmi",
+    "zipf_fit",
 ]
 
 #: Tiny per-language function-word profiles (deterministic heuristic).
@@ -747,3 +748,59 @@ def bigram_pmi(
     )
     uni.unpersist()
     return out
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus vocabulary: least-squares slope
+    and intercept of ``ln(freq) ~ ln(rank)`` for the ``top_k`` tokens —
+    the one-row corpus-health summary (natural language sits near slope
+    −1; scraped boilerplate, spam, and synthetic text bend it) that
+    corpus dashboards track across crawls.
+
+    Output: one row ``(n_tokens_fit, slope, intercept)``, 6 dp.
+
+    Scale shape: the vocabulary aggregation is the only corpus-sized
+    stage (same as :func:`vocab_stats`); ranking and the closed-form
+    least-squares moments run over the top-k frame (TakeOrderedAndProject
+    then k rows — driver-free, one aggregate row out).
+    """
+    toks = df.select(F.explode(norm_words(F.col(text_col))).alias("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.col("token").asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), F.col("token").asc()))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        F.col("n").alias("n_tokens_fit"),
+        stable_round(slope, 6).alias("slope"),
+        stable_round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+    )

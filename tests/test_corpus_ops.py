@@ -863,3 +863,35 @@ class TestBigramPmi:
 
         docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["solo"]}))
         assert bigram_pmi(docs).count() == 0
+
+
+class TestZipfFit:
+    def test_matches_numpy_lstsq(self, spark):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.textstats import zipf_fit
+
+        texts = [" ".join(f"w{j}" for j in range(i % 17 + 1)) for i in range(80)]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        row = zipf_fit(docs, top_k=10).collect()[0]
+
+        tf = Counter(w for t in texts for w in t.split())
+        top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        xs = [math.log(r + 1) for r in range(len(top))]
+        ys = [math.log(c) for _, c in top]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = sy / n - slope * sx / n
+        assert row["n_tokens_fit"] == n
+        assert row["slope"] == pytest.approx(slope, abs=2e-6)
+        assert row["intercept"] == pytest.approx(intercept, abs=2e-6)
+        # a frequency-decaying corpus fits a negative slope
+        assert row["slope"] < 0
