@@ -1542,6 +1542,29 @@ def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comention_edges(mentions, min_docs=10)
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datacard: per-language document counts, corpus share, and
+    mean quality — the one-page summary a dataset release ships."""
+    from sssom_curator_spark.operators.textstats import langid_heuristic, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lq = quality_score(langid_heuristic(docs)).select("doc_id", "lang_pred", "quality")
+    total = lq.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    from sssom_curator_spark.operators.textstats import stable_round
+
+    return (
+        lq.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("quality").alias("_aq"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang_pred",
+            "n_docs",
+            stable_round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+            stable_round(F.col("_aq"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit over the corpus vocabulary (textstats.py):
     one-row least-squares slope/intercept of ln(freq) ~ ln(rank)."""
@@ -1925,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bigram_pmi": q_bigram_pmi,
         "zipf_fit": q_zipf_fit,
+        "corpus_card": q_corpus_card,
         "comention_edges": q_comention_edges,
         "edit_distance_pairs": q_edit_distance_pairs,
         "canonicalize": q_canonicalize,
@@ -4070,4 +4094,16 @@ def oracle_sql() -> dict[str, str]:
     # The streaming replay is checked against the IDENTICAL batch rule:
     # stream ≡ batch is exactly the equivalence the hard signal asserts.
     sql["decontaminate_stream"] = sql["decontaminate"]
+    # corpus datacard aggregates the langid+quality per-document rule
+    sql["corpus_card"] = (
+        "WITH lq AS MATERIALIZED ("
+        + sql["langid_quality"]
+        + """),
+        t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lq)
+        SELECT lang_pred, count(*) AS n_docs,
+               round(count(*) / t.total + 1e-9, 6) AS share,
+               round(avg(quality) + 1e-9, 6) AS avg_quality
+        FROM lq CROSS JOIN t
+        GROUP BY lang_pred, t.total"""
+    )
     return sql

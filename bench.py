@@ -106,6 +106,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "embedding_neardup",
         "embedding_simjoin",
         "langid_quality",
+        "corpus_card",
         "fingerprint",
         "token_count_bpe",
         "repetition_stats",
