@@ -1548,20 +1548,23 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sssom_curator_spark.operators.textstats import langid_heuristic, quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    lq = quality_score(langid_heuristic(docs)).select("doc_id", "lang_pred", "quality")
-    total = lq.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     from sssom_curator_spark.operators.textstats import stable_round
 
-    return (
+    lq = quality_score(langid_heuristic(docs)).select("doc_id", "lang_pred", "quality")
+    # group FIRST, then derive the total from the language-sized frame —
+    # a separate corpus-level count would re-run the whole scoring scan
+    # (no common-subplan elimination across the crossJoin)
+    grouped = (
         lq.groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("quality").alias("_aq"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang_pred",
-            "n_docs",
-            stable_round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
-            stable_round(F.col("_aq"), 6).alias("avg_quality"),
-        )
+        .localCheckpoint()
+    )
+    total = grouped.agg(F.sum("n_docs").cast("double").alias("_total"))
+    return grouped.crossJoin(F.broadcast(total)).select(
+        "lang_pred",
+        "n_docs",
+        stable_round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        stable_round(F.col("_aq"), 6).alias("avg_quality"),
     )
 
 
@@ -2482,8 +2485,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT 3, 'purchase', (SELECT count(*) FROM s3)
             )
             SELECT step_index, step, n_users,
-                   round(n_users / CAST((SELECT count(*) FROM s1) AS DOUBLE)
-                         + 1e-9, 6) AS conversion
+                   CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
+                        ELSE round(n_users / CAST((SELECT count(*) FROM s1)
+                                                  AS DOUBLE) + 1e-9, 6)
+                   END AS conversion
             FROM c
         """,
         "cohort_retention": """
@@ -2901,11 +2906,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 25
         """,
         "edit_distance_pairs": """
-            WITH names AS MATERIALIZED (
+            WITH names0 AS (
               SELECT p_partkey AS id, p_name AS t FROM part WHERE p_partkey < 200
               UNION ALL
               SELECT p_partkey + 1000000, substr(p_name, 1, len(p_name) - 1)
               FROM part WHERE p_partkey < 200 AND p_partkey % 7 = 0
+            ),
+            names AS MATERIALIZED (
+              SELECT id, t FROM names0 WHERE t IS NOT NULL AND t <> ''
             )
             SELECT a.id AS id_a, b.id AS id_b, a.t AS text_a, b.t AS text_b,
                    CAST(levenshtein(a.t, b.t) AS INTEGER) AS distance
@@ -2964,11 +2972,13 @@ def oracle_sql() -> dict[str, str]:
               FROM r
             )
             SELECT n AS n_tokens_fit,
-                   round((sxy - sx * sy / n) / (sxx - sx * sx / n) + 1e-9, 6)
-                     AS slope,
-                   round(sy / n
-                         - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n
-                         + 1e-9, 6) AS intercept
+                   CASE WHEN sxx - sx * sx / n = 0 THEN NULL
+                        ELSE round((sxy - sx * sy / n) / (sxx - sx * sx / n)
+                                   + 1e-9, 6) END AS slope,
+                   CASE WHEN sxx - sx * sx / n = 0 THEN NULL
+                        ELSE round(sy / n
+                                   - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                                     * sx / n + 1e-9, 6) END AS intercept
             FROM m
         """,
         "bigram_pmi": """
@@ -3142,7 +3152,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS MATERIALIZED (
               SELECT doc_id, n_chars,
                      (CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8)
-                           AS BIGINT) + 1.0) / 4294967296.0 AS u
+                           AS BIGINT) + 0.5) / 4294967296.0 AS u
               FROM documents
               WHERE n_chars IS NOT NULL AND n_chars > 0
             )
@@ -4099,11 +4109,14 @@ def oracle_sql() -> dict[str, str]:
         "WITH lq AS MATERIALIZED ("
         + sql["langid_quality"]
         + """),
-        t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lq)
-        SELECT lang_pred, count(*) AS n_docs,
-               round(count(*) / t.total + 1e-9, 6) AS share,
-               round(avg(quality) + 1e-9, 6) AS avg_quality
-        FROM lq CROSS JOIN t
-        GROUP BY lang_pred, t.total"""
+        g AS MATERIALIZED (
+          SELECT lang_pred, count(*) AS n_docs, avg(quality) AS aq
+          FROM lq GROUP BY lang_pred
+        ),
+        t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM g)
+        SELECT lang_pred, n_docs,
+               round(n_docs / t.total + 1e-9, 6) AS share,
+               round(aq + 1e-9, 6) AS avg_quality
+        FROM g CROSS JOIN t"""
     )
     return sql

@@ -7,7 +7,9 @@ consume it. This is the textbook damped power iteration (Page et al.
 1999) with dangling-mass redistribution, run a FIXED number of rounds so
 the result is deterministic and SQL-replayable (the DuckDB oracle chains
 one CTE per iteration; a convergence-tested variant would tie the oracle
-to float-epsilon behavior).
+to float-epsilon behavior). One chassis serves the uniform, weighted,
+and personalized (seed-teleport) variants — the uniform case is the
+seeded case with t = 1/N, so every scale fix lands once.
 
 Scale shape:
 - the edge frame joined with out-degrees is computed ONCE, repartitioned
@@ -17,9 +19,9 @@ Scale shape:
 - contributions aggregate with a map-side partial ``sum`` keyed on
   ``dst`` — a 10M-in-degree hub page never materializes its in-edge list
   in one task;
-- dangling mass (nodes with no out-edges) is ONE scalar aggregate per
-  iteration folded into the next round's literal — no per-node
-  broadcast;
+- the dangling-node SET is loop-invariant and materialized once; its
+  per-iteration rank mass rides as a one-row broadcast frame cross-joined
+  into the update — no driver round-trip per iteration;
 - per-iteration ``localCheckpoint`` keeps the plan flat (same discipline
   as :mod:`sssom_curator_spark.graph.components`); the checkpoint blocks
   are NODE-sized (two columns), the explicit edge/node persists are
@@ -44,6 +46,8 @@ def pagerank(
     dst: str = "dst",
     *,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
     damping: float = 0.85,
     iterations: int = 5,
     round_to: int | None = 6,
@@ -54,11 +58,18 @@ def pagerank(
     distinct edge); with ``weight`` (a numeric column — e.g. the
     ``n_links`` of a domain link graph), each source distributes rank
     proportionally to edge weight (parallel edges sum; non-positive
-    weights are dropped). Self-loops count like any other edge. Ranks
-    start uniform at 1/N and sum to 1 after every iteration (dangling
-    mass is redistributed uniformly). ``round_to`` rounds the FINAL ranks
-    only — internal iterations keep full precision; pass ``None`` for raw
-    doubles.
+    weights are dropped). Self-loops count like any other edge.
+
+    Without ``seeds``, teleportation is uniform: ranks start at 1/N and
+    dangling mass spreads evenly. With ``seeds`` (a one-column frame of
+    node ids), teleportation AND dangling mass return to the matched
+    seeds uniformly — random walk with restart; unmatched seeds are
+    ignored and ``ValueError`` is raised when none matches (including
+    the empty-graph case, where every seed is trivially unmatched).
+
+    Ranks sum to 1 after every iteration. ``round_to`` rounds the FINAL
+    ranks only — internal iterations keep full precision; pass ``None``
+    for raw doubles.
     """
     if weight is None:
         e = (
@@ -96,6 +107,21 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # also pins the node cache
+
+    tele = None
+    if seeds is not None:
+        # validate BEFORE the empty-graph return: in an empty graph every
+        # seed is unmatched and the documented ValueError must still fire
+        seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+        matched = nodes.join(seed_nodes, on="node", how="left_semi").localCheckpoint()
+        ns = matched.count()
+        if ns == 0:
+            nodes.unpersist()
+            raise ValueError("pagerank: no seed matches any graph node")
+        # only seed rows carry a teleport entry; non-seeds read as 0 via
+        # the left join + coalesce in the init/update below
+        tele = matched.select("node", F.lit(1.0 / ns).alias("_t"))
+
     if n == 0:
         out = nodes.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
         nodes.unpersist()
@@ -113,15 +139,20 @@ def pagerank(
         outdeg, on=nodes["node"] == outdeg["src"], how="left_anti"
     ).localCheckpoint()
 
+    if tele is None:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    else:
+        ranks = (
+            nodes.join(tele, on="node", how="left")
+            .select("node", F.coalesce("_t", F.lit(0.0)).alias("rank"))
+            .localCheckpoint()
+        )
     base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
-        # dangling mass (total rank on nodes with no out-edges) rides as a
-        # one-row frame cross-joined into the update — NOT a driver-side
-        # .first(): a blocking scalar collect per iteration serializes the
-        # loop on driver round-trips, and at 20 iterations on a real
-        # cluster those round-trips dominate. One job per iteration (the
-        # checkpoint) executes everything.
+        # dangling mass rides as a one-row broadcast frame cross-joined
+        # into the update — NOT a driver-side .first(): a blocking scalar
+        # collect per iteration serializes the loop on driver round-trips.
+        # One job per iteration (the checkpoint) executes everything.
         dang_df = (
             ranks.join(dangling, on="node", how="left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
@@ -131,22 +162,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("_w") / F.col("_deg")).alias("_in"))
         )
-        ranks = (
-            nodes.join(contrib, on=nodes["node"] == contrib["dst"], how="left")
-            .crossJoin(F.broadcast(dang_df))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+        updated = nodes.join(
+            contrib, on=nodes["node"] == contrib["dst"], how="left"
+        ).crossJoin(F.broadcast(dang_df))
+        if tele is None:
+            rank_expr = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0))
+                + F.col("_dang") / F.lit(float(n))
             )
-            .localCheckpoint()
-        )
+        else:
+            updated = updated.join(tele, on="node", how="left")
+            t = F.coalesce(F.col("_t"), F.lit(0.0))
+            rank_expr = (F.lit(1.0) - F.lit(damping)) * t + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dang") * t
+            )
+        ranks = updated.select("node", rank_expr.alias("rank")).localCheckpoint()
     out = ranks
     if round_to is not None:
         out = ranks.select("node", stable_round(F.col("rank"), round_to).alias("rank"))
@@ -163,97 +193,24 @@ def personalized_pagerank(
     dst: str = "dst",
     *,
     seed_col: str = "node",
+    weight: str | None = None,
     damping: float = 0.85,
     iterations: int = 5,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Random walk with restart: like :func:`pagerank`, but teleportation
-    (and dangling mass) returns to the SEED set instead of the uniform
-    distribution — relevance relative to trusted domains, a seed ontology
-    branch, or a query entity (the standard KG-proximity ranker).
-
-    ``seeds`` is a one-column frame of node ids; seeds absent from the
-    graph are ignored; raises ``ValueError`` when no seed matches.
-    Output ranks sum to 1 over all nodes. Same scale shape as
-    :func:`pagerank`: checkpointed edge projection, persisted
-    src-partitioned edge+degree copy, one job per iteration, node-sized
-    teleport frame checkpointed once.
-    """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
+    """Random walk with restart — :func:`pagerank` with ``seeds``
+    required. Kept as a named entry point for the KG-proximity use case
+    (relevance relative to trusted domains, a seed ontology branch, or a
+    query entity); all behavior, including weighted edges, comes from the
+    shared chassis."""
+    return pagerank(
+        edges,
+        src,
+        dst,
+        weight=weight,
+        seeds=seeds,
+        seed_col=seed_col,
+        damping=damping,
+        iterations=iterations,
+        round_to=round_to,
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
-        .distinct()
-        .repartition("node")
-        .persist()
-    )
-    n = nodes.count()
-    if n == 0:
-        out = nodes.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
-        nodes.unpersist()
-        return out
-    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
-    tele = (
-        nodes.join(seed_nodes, on="node", how="left_semi")
-        .withColumn("_t", F.lit(1.0))
-        .localCheckpoint()
-    )
-    ns = tele.count()
-    if ns == 0:
-        nodes.unpersist()
-        raise ValueError("personalized_pagerank: no seed matches any graph node")
-    tele = tele.select("node", (F.col("_t") / F.lit(float(ns))).alias("_t"))
-
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    ewd = e.join(outdeg, on="src").repartition("src").persist()
-    ewd.count()
-    dangling = nodes.join(
-        outdeg, on=nodes["node"] == outdeg["src"], how="left_anti"
-    ).localCheckpoint()
-
-    # ranks start at the teleport distribution; every node keeps a row
-    # (non-seeds start at 0) so the update's left joins cover the graph
-    ranks = (
-        nodes.join(tele, on="node", how="left")
-        .select("node", F.coalesce("_t", F.lit(0.0)).alias("rank"))
-        .localCheckpoint()
-    )
-    for _ in range(iterations):
-        dang_df = (
-            ranks.join(dangling, on="node", how="left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
-        )
-        contrib = (
-            ewd.join(ranks, on=ewd["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
-        )
-        ranks = (
-            nodes.join(contrib, on=nodes["node"] == contrib["dst"], how="left")
-            .join(tele, on="node", how="left")
-            .crossJoin(F.broadcast(dang_df))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(damping)) * F.coalesce("_t", F.lit(0.0))
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") * F.coalesce("_t", F.lit(0.0))
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    out = ranks
-    if round_to is not None:
-        out = ranks.select("node", stable_round(F.col("rank"), round_to).alias("rank"))
-        out = out.localCheckpoint()
-    nodes.unpersist()
-    ewd.unpersist()
-    return out

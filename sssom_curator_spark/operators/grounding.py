@@ -384,7 +384,12 @@ def edit_distance_pairs(
             "edit_distance_pairs implements the deletion-neighborhood "
             f"blocking for max_distance=1 only, got {max_distance}"
         )
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    # NULL/empty labels are garbage in a label catalog and would pair
+    # with EACH OTHER at distance 0 (an m² blowup on a hot md5('') key,
+    # and a divergence from brute-force levenshtein semantics where NULL
+    # never matches) — drop them up front
+    names = names.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    t = F.col(text_col)
     # variant 0 = the string itself; variant i (1-based) = drop char i
     variants = F.concat(
         F.array(t),

@@ -374,8 +374,12 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # (h + 0.5)/2^32 keeps u strictly INSIDE (0, 1): h = 2^32 - 1 under
+    # the +1 form gives u = 1.0 and key ln(1)/w = 0 — the global maximum
+    # REGARDLESS of weight, so ~1-in-4.3B rows would deterministically
+    # hijack the sample at the design scale (review finding, round 5)
     u = (
-        F.conv(unit_hex(id_col, salt=salt), 16, 10).cast("double") + F.lit(1.0)
+        F.conv(unit_hex(id_col, salt=salt), 16, 10).cast("double") + F.lit(0.5)
     ) / F.lit(float(1 << 32))
     key = F.log(u) / F.col(weight_col).cast("double")
     return (

@@ -794,13 +794,17 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-    )
+    den = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / den
+    # degenerate fit (a single point: den = 0) is NULL in BOTH engines,
+    # never a NaN/Inf that silently poisons downstream dashboards
     return m.select(
         F.col("n").alias("n_tokens_fit"),
-        stable_round(slope, 6).alias("slope"),
-        stable_round(
-            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        F.when(den != 0, stable_round(slope, 6)).alias("slope"),
+        F.when(
+            den != 0,
+            stable_round(
+                F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+            ),
         ).alias("intercept"),
     )

@@ -895,3 +895,17 @@ class TestZipfFit:
         assert row["intercept"] == pytest.approx(intercept, abs=2e-6)
         # a frequency-decaying corpus fits a negative slope
         assert row["slope"] < 0
+
+
+class TestZipfDegenerate:
+    def test_single_token_vocab_is_null(self, spark):
+        import pandas as pd
+
+        from sssom_curator_spark.operators.textstats import zipf_fit
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["aaa aaa", "aaa"]})
+        )
+        row = zipf_fit(docs, top_k=5).collect()[0]
+        assert row["n_tokens_fit"] == 1
+        assert row["slope"] is None and row["intercept"] is None

@@ -233,8 +233,14 @@ class TestEditDistancePairs:
             "valencene",
             "same", "same",            # exact duplicates under two ids
         ]
+        labels_with_junk = labels + [None, "", None]
         df = spark.createDataFrame(
-            pd.DataFrame({"id": range(len(labels)), "norm_text": labels})
+            pd.DataFrame(
+                {
+                    "id": range(len(labels_with_junk)),
+                    "norm_text": labels_with_junk,
+                }
+            )
         )
         got = {
             (r["id_a"], r["id_b"]): r["distance"]
@@ -266,6 +272,8 @@ class TestEditDistancePairs:
         }
         assert got == want
         assert got[(7, 8)] == 0 and got[(0, 1)] == 1
+        # NULL/empty labels never pair (ids 9-11 are junk rows)
+        assert all(a < 9 and b < 9 for a, b in got)
 
     def test_only_distance_one_supported(self, spark):
         import pandas as pd

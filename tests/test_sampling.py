@@ -398,7 +398,7 @@ class TestWeightedSample:
 
         def key(i, w):
             h = int(hashlib.md5(f"wsample|{i}".encode()).hexdigest()[:8], 16)
-            u = (h + 1.0) / 2**32
+            u = (h + 0.5) / 2**32
             return math.log(u) / w
 
         want = {
