@@ -1655,6 +1655,24 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=5)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the p-graph (graph/stats.py): iterative degree peeling
+    to a fixpoint vs a fixed-round CTE oracle."""
+    from sssom_curator_spark.graph.stats import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    dense = li.filter(F.col("l_orderkey") < 800).select(
+        F.concat(F.lit("d"), (F.col("l_orderkey") % 15).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (F.col("l_partkey") % 15).cast("string")).alias("dst"),
+    )
+    chain = li.filter(F.col("l_orderkey") < 600).select(
+        F.concat(F.lit("s"), (F.col("l_orderkey") % 50).cast("string")).alias("src"),
+        F.concat(F.lit("s"), (F.col("l_orderkey") % 50 + 1).cast("string")).alias("dst"),
+    )
+    # dense 15-node cluster survives the 3-core; the 51-node chain peels
+    return k_core(dense.union(chain), 3)
+
+
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled degree distribution (graph/stats.py) — the skew
     pre-flight report for join-strategy decisions."""
@@ -1943,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "triangle_counts": q_triangle_counts,
         "degree_histogram": q_degree_histogram,
+        "k_core": q_k_core,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
         "domain_rank_weighted": q_domain_rank_weighted,
@@ -2124,6 +2143,39 @@ h{k + 1} AS MATERIALIZED (
 SELECT h.node, round(h.hub + 1e-9, 6) AS hub,
        round(a.authority + 1e-9, 6) AS authority
 FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
+    )
+
+
+def _kcore_oracle_sql(base_body: str, k: int, *, rounds: int = 12) -> str:
+    """Replays graph/stats.py k_core with a FIXED round count: peeling is
+    monotone and idempotent at the fixpoint, so extra rounds are no-ops —
+    ``rounds`` just has to exceed the actual peel depth on the data."""
+    parts = [
+        f"""e0 AS MATERIALIZED ({base_body}),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM e0 WHERE s <> t
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM g{i} UNION ALL SELECT v FROM g{i}
+  ) GROUP BY n
+),
+keep{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {k}),
+g{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM g{i}
+  WHERE u IN (SELECT n FROM keep{i}) AND v IN (SELECT n FROM keep{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n AS node, count(*) AS core_degree FROM (
+  SELECT u AS n FROM g{rounds} UNION ALL SELECT v FROM g{rounds}
+) GROUP BY n"""
     )
 
 
@@ -3098,6 +3150,19 @@ def oracle_sql() -> dict[str, str]:
   FROM lineitem WHERE l_orderkey < 3000
 """,
             iterations=5,
+        ),
+        "k_core": _kcore_oracle_sql(
+            """
+  SELECT 'd' || CAST(l_orderkey % 15 AS VARCHAR) AS s,
+         'd' || CAST(l_partkey % 15 AS VARCHAR) AS t
+  FROM lineitem WHERE l_orderkey < 800
+  UNION ALL
+  SELECT 's' || CAST(l_orderkey % 50 AS VARCHAR),
+         's' || CAST(l_orderkey % 50 + 1 AS VARCHAR)
+  FROM lineitem WHERE l_orderkey < 600
+""",
+            3,
+            rounds=8,
         ),
         "degree_histogram": """
             WITH e0 AS MATERIALIZED (

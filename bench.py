@@ -84,6 +84,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "exact_quantiles",
         "connected_components",
         "degree_histogram",
+        "k_core",
         "transitive_closure",
         "bounded_reachability",
         "pagerank",

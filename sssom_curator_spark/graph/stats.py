@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from sssom_curator_spark.graph._edges import symmetric_adjacency, undirected_edges
 
-__all__ = ["degree_histogram"]
+__all__ = ["degree_histogram", "k_core"]
 
 
 def degree_histogram(
@@ -47,4 +47,51 @@ def degree_histogram(
     )
     return grid.join(hist, on="degree", how="left").select(
         "degree", F.coalesce("_n", F.lit(0)).alias("n_nodes")
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core: iteratively peel nodes of degree < k until a fixpoint —
+    the dense-substructure extractor (spam/link-farm cliques sit in high
+    cores; a mapping-graph 2-core isolates multiply-witnessed identity
+    clusters from one-off xref chains). Output: ``(node, core_degree)``
+    for every surviving node, with its degree INSIDE the core.
+
+    Scale shape per round: one degree aggregation (map-side partials)
+    over the shrinking edge frame, one node-sized keep set, two semi-joins
+    to restrict edges — all keyed on node ids; ``localCheckpoint`` per
+    round; convergence = edge count unchanged (peeling is monotone, so
+    the count alone is a sound fixpoint test — no checksum needed).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = undirected_edges(edges, src, dst)
+    n_edges = cur.count()
+    for _ in range(max_iterations):
+        deg = symmetric_adjacency(cur).groupBy("n").agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= k).select(F.col("n").alias("node")).localCheckpoint()
+        nxt = (
+            cur.join(keep, on=cur["u"] == keep["node"], how="left_semi")
+            .join(keep, on=cur["v"] == keep["node"], how="left_semi")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        symmetric_adjacency(cur)
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("n").alias("node"), "core_degree")
     )

@@ -509,3 +509,41 @@ class TestDegreeHistogram:
 
         df = spark.createDataFrame([], "src string, dst string")
         assert degree_histogram(df).count() == 0
+
+
+class TestKCore:
+    @staticmethod
+    def _oracle(edges, k):
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            nxt = {e for e in und if e[0] not in drop and e[1] not in drop}
+            if nxt == und:
+                return deg
+            und = nxt
+        
+    def test_clique_with_tail(self, spark):
+        from sssom_curator_spark.graph.stats import k_core
+
+        clique = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+        tail = [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+        df = spark.createDataFrame(clique + tail, "src string, dst string")
+        got = {r["node"]: r["core_degree"] for r in k_core(df, 2).collect()}
+        # the chain peels away entirely; the K4 survives with degree 3
+        assert got == {f"c{i}": 3 for i in range(4)}
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.stats import k_core
+
+        rng = random.Random(41)
+        edges = list({(f"v{rng.randrange(22)}", f"v{rng.randrange(22)}") for _ in range(55)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (2, 3):
+            got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+            assert got == self._oracle(edges, k), k
