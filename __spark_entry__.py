@@ -261,6 +261,15 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, hour) event-rate z-scores (operators/temporal.py) —
+    the burst/stall monitoring query over the events stream."""
+    from sssom_curator_spark.operators.temporal import rate_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_anomaly(ev)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase (operators/temporal.py):
     greedy earliest-completion matching, per-step user-keyed min aggs."""
@@ -1946,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": q_hopping_window,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
+        "rate_anomaly": q_rate_anomaly,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "bounded_reachability": q_bounded_reachability,
@@ -2510,6 +2520,25 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "rate_anomaly": """
+            WITH counts AS MATERIALIZED (
+              SELECT event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_ts,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            m AS MATERIALIZED (
+              SELECT event_type, avg(n) AS mu,
+                     sqrt(greatest(avg(n * n) - avg(n) * avg(n), 0.0)) AS sigma
+              FROM counts GROUP BY event_type
+            )
+            SELECT c.event_type, c.bucket_ts, c.n,
+                   CASE WHEN m.sigma > 0
+                        THEN round((c.n - m.mu) / m.sigma + 1e-9, 6)
+                   END AS z
+            FROM counts c JOIN m ON m.event_type = c.event_type
         """,
         "funnel": """
             WITH s1 AS MATERIALIZED (

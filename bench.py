@@ -77,6 +77,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "session_window",
         "cohort_retention",
         "funnel",
+        "rate_anomaly",
         "asof_join",
         "range_join",
         "hypertable_rollup",

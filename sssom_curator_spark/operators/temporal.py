@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "hypertable_rollup", "cohort_retention", "funnel_conversion"]
+__all__ = ["asof_join", "range_join", "hypertable_rollup", "cohort_retention", "funnel_conversion", "rate_anomaly"]
 
 
 def asof_join(
@@ -329,3 +329,53 @@ def funnel_conversion(
     return spark.createDataFrame(
         pdf, "step_index long, step string, n_users long, conversion double"
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket: str = "hour",
+    z_threshold: float | None = None,
+) -> DataFrame:
+    """Event-rate burst detection: per (type, time bucket) counts z-scored
+    against the type's OWN bucket distribution — the monitoring query
+    that flags crawler storms, bot bursts, and pipeline stalls (a stall
+    is a negative burst). Output: ``(event_type, bucket_ts:string, n, z)``
+    for every observed bucket, z rounded to 6 dp and NULL for types whose
+    rate never varies (zero variance); ``z_threshold`` keeps only rows
+    with ``|z| >= threshold`` when set.
+
+    Scale shape: one (type, bucket)-keyed count with map-side partials —
+    the only corpus-sized stage; moments aggregate the BUCKET frame per
+    type (population σ via sqrt(E[n²]−E[n]²), FP-clamped) and join back
+    type-keyed, dimension-sized throughout.
+    """
+    b = F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss")
+    counts = events.groupBy(
+        F.col(type_col).alias("event_type"), b.alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    moments = counts.groupBy("event_type").agg(
+        F.avg("n").alias("_mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("n") * F.col("n")) - F.avg("n") * F.avg("n"),
+                F.lit(0.0),
+            )
+        ).alias("_sigma"),
+    )
+    from sssom_curator_spark.operators.textstats import stable_round
+
+    out = counts.join(moments, on="event_type").select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.when(
+            F.col("_sigma") > 0,
+            stable_round((F.col("n") - F.col("_mu")) / F.col("_sigma"), 6),
+        ).alias("z"),
+    )
+    if z_threshold is not None:
+        out = out.filter(F.abs(F.col("z")) >= z_threshold)
+    return out

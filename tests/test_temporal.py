@@ -278,3 +278,39 @@ class TestFunnelConversion:
         )
         got = funnel_conversion(df, ["view", "click"]).collect()
         assert [(r["n_users"], r["conversion"]) for r in got] == [(0, 0.0), (0, 0.0)]
+
+
+class TestRateAnomaly:
+    def test_burst_detected(self, spark):
+        import datetime as dt
+        import math
+
+        import pandas as pd
+
+        from sssom_curator_spark.operators.temporal import rate_anomaly
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # steady: 2 clicks per hour for 5 hours; burst: 20 in hour 5
+        for h in range(5):
+            rows += [("click", t0 + dt.timedelta(hours=h, minutes=m)) for m in (5, 35)]
+        rows += [("click", t0 + dt.timedelta(hours=5, minutes=m)) for m in range(20)]
+        # constant type: zero variance -> NULL z
+        rows += [("view", t0 + dt.timedelta(hours=h)) for h in range(3)]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "ts"]))
+
+        got = {
+            (r["event_type"], r["bucket_ts"]): (r["n"], r["z"])
+            for r in rate_anomaly(df).collect()
+        }
+        ns = [2] * 5 + [20]
+        mu = sum(ns) / 6
+        sigma = math.sqrt(sum(n * n for n in ns) / 6 - mu * mu)
+        z_burst = round((20 - mu) / sigma + 1e-9, 6)
+        assert got[("click", "2024-01-01 05:00:00")] == (20, z_burst)
+        assert got[("view", "2024-01-01 00:00:00")] == (1, None)
+
+        flagged = rate_anomaly(df, z_threshold=2.0).collect()
+        assert {(r["event_type"], r["bucket_ts"]) for r in flagged} == {
+            ("click", "2024-01-01 05:00:00")
+        }
