@@ -1664,6 +1664,23 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=5)
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mixed dense+chain graph
+    (graph/stats.py): one-row Pearson correlation of edge-end degrees."""
+    from sssom_curator_spark.graph.stats import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    dense = li.filter(F.col("l_orderkey") < 800).select(
+        F.concat(F.lit("d"), (F.col("l_orderkey") % 15).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (F.col("l_partkey") % 15).cast("string")).alias("dst"),
+    )
+    chain = li.filter(F.col("l_orderkey") < 600).select(
+        F.concat(F.lit("s"), (F.col("l_orderkey") % 50).cast("string")).alias("src"),
+        F.concat(F.lit("s"), (F.col("l_orderkey") % 50 + 1).cast("string")).alias("dst"),
+    )
+    return degree_assortativity(dense.union(chain))
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the p-graph (graph/stats.py): iterative degree peeling
     to a fixpoint vs a fixed-round CTE oracle."""
@@ -1972,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "degree_histogram": q_degree_histogram,
         "k_core": q_k_core,
+        "assortativity": q_assortativity,
         "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
         "domain_rank_weighted": q_domain_rank_weighted,
@@ -3180,6 +3198,46 @@ def oracle_sql() -> dict[str, str]:
 """,
             iterations=5,
         ),
+        "assortativity": """
+            WITH e0 AS (
+              SELECT 'd' || CAST(l_orderkey % 15 AS VARCHAR) AS s,
+                     'd' || CAST(l_partkey % 15 AS VARCHAR) AS t
+              FROM lineitem WHERE l_orderkey < 800
+              UNION ALL
+              SELECT 's' || CAST(l_orderkey % 50 AS VARCHAR),
+                     's' || CAST(l_orderkey % 50 + 1 AS VARCHAR)
+              FROM lineitem WHERE l_orderkey < 600
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+              FROM e0 WHERE s <> t
+            ),
+            deg AS MATERIALIZED (
+              SELECT n, count(*) AS d FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und
+              ) GROUP BY n
+            ),
+            paired AS (
+              SELECT CAST(da.d AS DOUBLE) AS du, CAST(db.d AS DOUBLE) AS dv
+              FROM und JOIN deg da ON da.n = und.u JOIN deg db ON db.n = und.v
+            ),
+            sym2 AS (
+              SELECT du AS x, dv AS y FROM paired
+              UNION ALL SELECT dv, du FROM paired
+            ),
+            m AS MATERIALIZED (
+              SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+                     avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+              FROM sym2
+            )
+            SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+                   CASE WHEN mxx - mx * mx > 0 AND myy - my * my > 0
+                        THEN round((mxy - mx * my)
+                                   / sqrt((mxx - mx * mx) * (myy - my * my))
+                                   + 1e-9, 6)
+                   END AS assortativity
+            FROM m
+        """,
         "k_core": _kcore_oracle_sql(
             """
   SELECT 'd' || CAST(l_orderkey % 15 AS VARCHAR) AS s,

@@ -86,6 +86,7 @@ def run_bench(sf_dir: str, cpus: int, *, pipeline_only: bool = False) -> dict:
         "connected_components",
         "degree_histogram",
         "k_core",
+        "assortativity",
         "transitive_closure",
         "bounded_reachability",
         "pagerank",

@@ -547,3 +547,56 @@ class TestKCore:
         for k in (2, 3):
             got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
             assert got == self._oracle(edges, k), k
+
+
+class TestDegreeAssortativity:
+    @staticmethod
+    def _oracle(edges):
+        import math
+
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in und:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+        vx = sum(x * x for x in xs) / n - mx * mx
+        vy = sum(y * y for y in ys) / n - my * my
+        if vx <= 0 or vy <= 0:
+            return None
+        return cov / math.sqrt(vx * vy)
+
+    def test_star_is_disassortative(self, spark):
+        from sssom_curator_spark.graph.stats import degree_assortativity
+
+        edges = [("h", f"s{i}") for i in range(5)] + [("s0", "s1")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        row = degree_assortativity(df).collect()[0]
+        want = self._oracle(edges)
+        assert row["n_edges"] == 6
+        assert row["assortativity"] == pytest.approx(want, abs=2e-6)
+        assert row["assortativity"] < 0  # hubs link to leaves
+
+    def test_regular_graph_is_degenerate(self, spark):
+        from sssom_curator_spark.graph.stats import degree_assortativity
+
+        # a cycle: every degree equals 2 -> zero variance -> NULL
+        edges = [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        row = degree_assortativity(df).collect()[0]
+        assert row["assortativity"] is None
+
+    def test_random_graph(self, spark):
+        from sssom_curator_spark.graph.stats import degree_assortativity
+
+        rng = random.Random(53)
+        edges = list({(f"v{rng.randrange(20)}", f"v{rng.randrange(20)}") for _ in range(50)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        row = degree_assortativity(df).collect()[0]
+        assert row["assortativity"] == pytest.approx(self._oracle(edges), abs=2e-6)
