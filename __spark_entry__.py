@@ -29,7 +29,22 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Scale-adaptive scan fan-out (guide §2.4/§6.1): the testdata parquet
+    # files are written as 1-6 row groups and a parquet scan cannot split
+    # below row-group granularity, so every per-row-heavy operator
+    # (shingling, md5 minhash, URL parsing, regex gates, signature UDFs)
+    # was bottlenecked on 1-6 scan tasks while the rest of the cluster
+    # idled. When the scan yields fewer splits than the cluster's default
+    # parallelism, fan the rows out once with a round-robin repartition (a
+    # few-MB exchange here; filters/projections still push through the
+    # Exchange to the scan — plan-asserted in tests/test_plans.py). Inputs
+    # that already provide >= defaultParallelism splits (any real 100 TB
+    # table) skip it: no blanket corpus shuffle at scale.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _dec_sum(col: str, alias: str) -> F.Column:
