@@ -434,34 +434,109 @@ def cosine_near_duplicates(
     (plan size O(1) in dim), id-pair-only candidate distinct, vectors
     re-attached by joining back to the embedding frame.
     """
-    # Persist: the banded frame — whose lineage includes the signature
-    # pandas UDF over every vector — feeds BOTH sides of the self-join;
-    # uncached, Spark would run the Arrow-batch matmul over the corpus
-    # twice per run. The eager localCheckpoint on the candidate pairs
-    # materializes them in one job while the cache is live, then the
-    # cache is dropped (no leak). Same pattern as simhash/minhash
-    # near-dup; pinned by
+    # Plan shape (r06 rewrite — guide §2.3/§4.2): the old form
+    # materialized the FULL candidate id-pair space through a JVM
+    # self-join + distinct + localCheckpoint (46.6M rows at sf1.0), then
+    # re-attached both vectors per pair and evaluated the dot product
+    # with interpreted higher-order functions — 85-110 s at sf1.0, ~40 s
+    # of which was shuffling/materializing pairs that exist only to be
+    # scored and discarded. Candidate pairs within one LSH bucket need
+    # nothing outside that bucket, so the pair generation + exact rerank
+    # now run INSIDE one ``applyInPandas`` per (band, key) group: each
+    # bucket ships its (id, vector) rows once (the only shuffle), scores
+    # all in-bucket pairs with vectorized numpy, and returns only pairs
+    # at the cutoff — the quadratic pair stream never crosses an
+    # exchange, never hits Python row-at-a-time, and never materializes.
+    #
+    # Bit-exactness (the DuckDB oracle replays the JVM arithmetic): dots
+    # and norms use ``np.cumsum`` along the vector axis — sequential
+    # left-to-right float64 addition, the exact summation order of
+    # ``F.aggregate``'s fold in :func:`cosine_sim_col` — and the Python
+    # side filters at ``cutoff - 5.1e-5`` (a HALF_UP round to 4 dp can
+    # raise a value by at most 5e-5), while the authoritative
+    # ``round(sim, 4) >= cutoff`` filter and the cross-band dedup stay in
+    # the JVM. The signature UDF still runs exactly once per corpus row
+    # (single-consumer chain, no self-join clone) — pinned by
     # tests/test_embedding.py::test_cosine_neardup_single_signature_scan.
-    banded = _banded(
-        df, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, bands=bands, id_alias="_bid", counter=_sig_counter,
-    ).persist()
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.key") == F.col("r.key"),
-                F.col("l._bid") < F.col("r._bid"),
-            ],
-        )
-        .select(F.col("l._bid").alias("doc_a"), F.col("r._bid").alias("doc_b"))
-        .distinct()
-        .localCheckpoint()
+    rows_per_band = n_planes // bands
+    with_sig = df.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_vec"),
+        _signature_udf(n_planes, _sig_counter)(F.col(vec_col)).alias("_sig"),
     )
-    banded.unpersist()
-    return _rerank_pairs(
-        cand, df, df, left_key="doc_a", right_key="doc_b",
-        id_col=id_col, vec_col=vec_col,
-    ).filter(F.col("cosine") >= cutoff)
+    bandcols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("_sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = with_sig.select(
+        "_bid", "_vec", F.explode(F.array(*bandcols)).alias("bk")
+    ).select(
+        "_bid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "_vec"
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type),
+            T.StructField("doc_b", id_type),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+    margin = cutoff - 5.1e-5
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "_sim": []})
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return empty
+        ids = pdf["_bid"].to_numpy()
+        # pair orientation must match the JVM's ``l._bid < r._bid``:
+        # numeric ids compare numerically; strings lexicographically
+        # (numpy object-array sort = Python str <, which equals Spark's
+        # UTF8 byte order — UTF-8 is code-point order preserving)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(pdf["_vec"].to_numpy()[order].tolist(), dtype=np.float64)
+        # sequential-sum norms: cumsum == the fold's left-to-right adds
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        out_a, out_b, out_s = [], [], []
+        dim = mat.shape[1]
+        # block the doc_a side so the (block, n_rows, dim) product stays
+        # ~tens of MB regardless of bucket size
+        blk = max(4, int(24e6 / (max(n_rows, 1) * dim * 8)) or 4)
+        for s in range(0, n_rows - 1, blk):
+            e = min(s + blk, n_rows)
+            right = mat[s + 1 :]  # only j > s can pair with this block
+            prod = mat[s:e, None, :] * right[None, :, :]
+            dots = np.cumsum(prod, axis=2)[:, :, -1]  # sequential adds
+            denom = norms[s:e, None] * norms[None, s + 1 :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, dots / denom, 0.0)
+            # global j must exceed global i, and equal ids never pair
+            gi = np.arange(s, e)[:, None]
+            gj = np.arange(s + 1, n_rows)[None, :]
+            keep = (sims >= margin) & (gj > gi) & (ids[gj] != ids[gi])
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj + s + 1])
+                out_s.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "_sim": np.concatenate(out_s),
+            }
+        )
+
+    pairs = banded.groupBy("band", "key").applyInPandas(bucket_pairs, out_schema)
+    return (
+        pairs.select("doc_a", "doc_b", F.round(F.col("_sim"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= cutoff)
+        .distinct()
+    )
