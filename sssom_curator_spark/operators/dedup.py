@@ -486,14 +486,30 @@ def simhash_near_duplicates(
     chunks: int = 4,
 ) -> DataFrame:
     """Near-dups by SimHash: banding on 16-bit chunks (pigeonhole: hamming
-    ≤ chunks-1 ⇒ some chunk equal), verified with ``bit_count(a XOR b)``."""
-    # Eager checkpoint, not persist: the banded frame feeds both sides of
-    # the candidate self-join, and AQE clones the sides into separate
-    # query stages — a merely-persisted signature re-runs the 64-vote
-    # aggregation's MAP stage (the token explode + md5 over the whole
-    # corpus) once per side; checkpoint blocks are computed exactly once.
+    ≤ chunks-1 ⇒ some chunk equal), verified with ``bit_count(a XOR b)``.
+
+    Plan shape (r06 rewrite — guide §2.3): web corpora carry large
+    identical-signature groups (exact/near-exact re-crawls), so banding
+    DOC rows enumerates every cross pair of every hot bucket — 240M
+    joined rows at sf1.0 for a 16.3M-pair result, then a result-sized
+    ``distinct`` to drop duplicate band matches. Candidates now form at
+    the DISTINCT-SIGNATURE level: the banded self-join runs over unique
+    simhash values (orders of magnitude fewer hot-bucket rows), its
+    verified sig pairs dedupe while tiny, and doc pairs materialize by
+    joining each sig pair back to the signature frame — producing every
+    output row exactly once, so no corpus-pair distinct exists anywhere.
+    Same-signature doc pairs (hamming 0, always candidates: equal sigs
+    share every chunk) come from one equi-self-join on the signature.
+    Result set is identical to banding doc rows directly.
+    """
+    # Eager checkpoint, not persist: the signature frame feeds the unique
+    # frame and both expansion sides, and AQE clones consumers into
+    # separate query stages — a merely-persisted signature re-runs the
+    # 64-vote aggregation's MAP stage (the token explode + md5 over the
+    # whole corpus) once per side; checkpoint blocks are computed once.
     sig = simhash(df, id_col=id_col, text_col=text_col).localCheckpoint()
     width = _SIMHASH_BITS // chunks
+    usig = sig.select("simhash").distinct()
     chunk_cols = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -503,29 +519,56 @@ def simhash_near_duplicates(
         )
         for i in range(chunks)
     ]
-    banded = sig.select("doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
-        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key")
-    )
+    banded = usig.select(
+        "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    sig_pairs = (
         l.join(
             r,
             on=[
                 F.col("l.chunk") == F.col("r.chunk"),
                 F.col("l.key") == F.col("r.key"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
+                F.col("l.simhash") < F.col("r.simhash"),
             ],
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    cross = (
+        sig_pairs.join(
+            sig.select(F.col("doc_id").alias("_da"), F.col("simhash").alias("_sa")),
+            on="_sa",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("_db"), F.col("simhash").alias("_sb")),
+            on="_sb",
+        )
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    within = x.join(
+        y,
+        on=[
+            F.col("x.simhash") == F.col("y.simhash"),
+            F.col("x.doc_id") < F.col("y.doc_id"),
+        ],
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("integer").alias("hamming"),
     )
     # single consumer, signature checkpointed — return lazily
-    return cand
+    return cross.union(within)
 
 
 def drop_repeated_paragraphs(
