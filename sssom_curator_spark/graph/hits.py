@@ -46,11 +46,20 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    # Right-size the persisted frames to the graph, not the session's
+    # shuffle width (guide §2.2): repartition("key") inherits
+    # spark.sql.shuffle.partitions, so a 60-node graph was cached in 64
+    # partitions and every half-step scanned them all — pure scheduler
+    # latency. The edge frame is already materialized; ~1M edges per
+    # cached partition keeps big graphs wide.
+    m = e.count()
+    width = e.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(width, m // 1_000_000 + 1))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
-        .repartition("node")
+        .repartition(parts, "node")
         .persist()
     )
     n = nodes.count()
@@ -63,9 +72,9 @@ def hits(
     # TWO persisted edge copies, one per half-step key: the authority step
     # joins on src, the hub step on dst — a single src-partitioned copy
     # would force an edge-sized re-shuffle by dst every iteration.
-    ep_src = e.repartition("src").persist()
+    ep_src = e.repartition(parts, "src").persist()
     ep_src.count()
-    ep_dst = e.repartition("dst").persist()
+    ep_dst = e.repartition(parts, "dst").persist()
     ep_dst.count()
 
     def _l2(df: DataFrame, col: str) -> DataFrame:

@@ -99,11 +99,21 @@ def pagerank(
     # (html → links → domain graph) each consumer would re-run it. The
     # edge list is graph-sized — bounded, unlike the corpus it came from.
     e = e.localCheckpoint()
+    # Right-size the persisted frames to the GRAPH, not the session's
+    # shuffle width (guide §2.2): repartition("key") inherits
+    # spark.sql.shuffle.partitions, so a 60-node domain graph was cached
+    # in 64 partitions and every one of the 5 iterations scanned 64 cached
+    # partitions per stage — pure scheduler latency. The edge frame is
+    # already materialized, so its count is a cheap metadata-ish job;
+    # ~1M edges per cached partition keeps big graphs wide.
+    m = e.count()
+    width = e.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(width, m // 1_000_000 + 1))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
-        .repartition("node")
+        .repartition(parts, "node")
         .persist()
     )
     n = nodes.count()  # also pins the node cache
@@ -130,7 +140,7 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.sum("_w").alias("_deg"))
     # One persisted, src-partitioned copy of (src, dst, _w, _deg): every
     # iteration reads these cached partitions; only ranks shuffle per round.
-    ewd = e.join(outdeg, on="src").repartition("src").persist()
+    ewd = e.join(outdeg, on="src").repartition(parts, "src").persist()
     ewd.count()
     # WHICH nodes dangle is loop-invariant (only their rank mass changes):
     # materialize the node-sized dangling set once instead of re-running
