@@ -27,24 +27,56 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: sweep hook: force the _t fan-out on (True) / off (False) regardless of
+#: the per-call default — used by tools/sweep_fanout.py only
+_FAN_OUT_OVERRIDE: bool | None = None
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = True
+) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if _FAN_OUT_OVERRIDE is not None:
+        fan_out = _FAN_OUT_OVERRIDE
+    if not fan_out:
+        return df
     # Scale-adaptive scan fan-out (guide §2.4/§6.1): the testdata parquet
     # files are written as 1-6 row groups and a parquet scan cannot split
     # below row-group granularity, so every per-row-heavy operator
     # (shingling, md5 minhash, URL parsing, regex gates, signature UDFs)
     # was bottlenecked on 1-6 scan tasks while the rest of the cluster
     # idled. When the scan yields fewer splits than the cluster's default
-    # parallelism, fan the rows out once with a round-robin repartition (a
-    # few-MB exchange here; filters/projections still push through the
-    # Exchange to the scan — plan-asserted in tests/test_plans.py). Inputs
-    # that already provide >= defaultParallelism splits (any real 100 TB
-    # table) skip it: no blanket corpus shuffle at scale.
+    # parallelism, fan the rows out once with a HASH repartition on the
+    # table's unique key (a few-MB exchange here; filters/projections
+    # still push through the Exchange to the scan — plan-asserted in
+    # tests/test_plans.py). Hash-on-key rather than round-robin: unique
+    # keys spread evenly, rows stay deterministically placed under task
+    # retry, and there is no sort-before-repartition pass (guide §2.5) —
+    # measured faster than round-robin on both map-heavy and
+    # shuffle-first queries. Inputs that already provide >=
+    # defaultParallelism splits (any real 100 TB table) skip it: no
+    # blanket corpus shuffle at scale.
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        keys = _TABLE_KEYS.get(name)
+        df = df.repartition(par, *keys) if keys else df.repartition(par)
     return df
+
+
+#: unique key per testdata table — the fan-out hash key in _t
+_TABLE_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
 
 
 def _dec_sum(col: str, alias: str) -> F.Column:
@@ -110,7 +142,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_prefix_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: order-insensitive pair counter (export/summary.py:72-80)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     return (
         li.groupBy(
             F.least("l_returnflag", "l_linestatus").alias("source_key"),
@@ -160,8 +192,8 @@ def q_state_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grounding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 shape: probe side joined against a broadcast dimension
     (predict/lexical.py:256-310 → broadcast hash join)."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
+    part = _t(spark, sf_dir, "part", fan_out=False)
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_name")
@@ -254,7 +286,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 stable pagination idiom: row_number window (SURVEY.md §2.5)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
         ev.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -281,7 +313,7 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the burst/stall monitoring query over the events stream."""
     from sssom_curator_spark.operators.temporal import rate_anomaly
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return rate_anomaly(ev)
 
 
@@ -290,7 +322,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy earliest-completion matching, per-step user-keyed min aggs."""
     from sssom_curator_spark.operators.temporal import funnel_conversion
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return funnel_conversion(ev, ["view", "click", "purchase"])
 
 
@@ -299,7 +331,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-event cohorts, epoch-exact week offsets, per-cohort rates."""
     from sssom_curator_spark.operators.temporal import cohort_retention
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return cohort_retention(ev)
 
 
@@ -380,7 +412,7 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup/exact: hash-groupBy with deterministic winner."""
     from sssom_curator_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     return exact_dedup(docs, ["text"]).select("doc_id", "text")
 
 
@@ -421,7 +453,7 @@ def q_embedding_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pandas UDF (predict/embedding.py:106-161)."""
     from sssom_curator_spark.operators.embedding import embedding_similarity_join
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _t(spark, sf_dir, "embeddings", fan_out=False).select(
         F.col("vec_id").cast("string").alias("id"), "embedding"
     )
     src = emb.filter(F.col("id").cast("long") < 50)
@@ -716,7 +748,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither); per-document rows pin every assignment, not just counts."""
     from sssom_curator_spark.operators.sampling import split_assign
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id")
     return split_assign(docs, id_col="doc_id").select("doc_id", "split")
 
 
@@ -726,7 +758,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition dependence; every kept doc_id is pinned."""
     from sssom_curator_spark.operators.sampling import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "lang")
     return stratified_sample(
         docs,
         {"en": 0.8, "de": 0.3},
@@ -743,7 +775,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears only in the upstream size aggregation."""
     from sssom_curator_spark.operators.sampling import mixture_weights
 
-    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("lang", "n_chars")
     stats = docs.groupBy("lang").agg(F.sum("n_chars").alias("n_tokens"))
     return mixture_weights(
         stats, {"en": 0.5, "de": 0.25, "es": 0.25}, group_col="lang"
@@ -757,7 +789,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document."""
     from sssom_curator_spark.operators.sampling import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "n_chars")
     return pack_sequences(docs, id_col="doc_id", tokens_col="n_chars", budget=4096)
 
 
@@ -814,7 +846,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay follows the identical trajectory."""
     from sssom_curator_spark.operators.clustering import kmeans_assignments
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _t(spark, sf_dir, "embeddings", fan_out=False).select("vec_id", "embedding")
     return kmeans_assignments(emb, k=8, n_iter=2)
 
 
@@ -836,7 +868,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming uses stateful — with the oracle replaying the gaps-and-
     islands form (lag + cumulative new-session sum). Session end is
     last_ts + gap per Spark's semantics."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return (
         ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -915,7 +947,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native ASOF JOIN."""
     from sssom_curator_spark.operators.temporal import asof_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     left = ev.select("user_id", "ts", "event_id")
     right = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
@@ -930,7 +962,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain SQL range predicate."""
     from sssom_curator_spark.operators.temporal import range_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     points = ev.select(
         "event_id",
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
@@ -965,7 +997,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hypertable shape: coarse levels never rescan the corpus)."""
     from sssom_curator_spark.operators.temporal import hypertable_rollup
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     out = hypertable_rollup(ev, levels=("hour", "day", "week"))
     return out.select(
         "level",
@@ -1088,7 +1120,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join, and exact rerank."""
     from sssom_curator_spark.operators.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan_out=False)
     out = cosine_topk_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, id_col="vec_id")
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -1531,7 +1563,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-deletion variants."""
     from sssom_curator_spark.operators.grounding import edit_distance_pairs
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    part = _t(spark, sf_dir, "part", fan_out=False).filter(F.col("p_partkey") < 200)
     names = part.select(
         F.col("p_partkey").alias("id"), F.col("p_name").alias("norm_text")
     ).union(
@@ -1644,7 +1676,7 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality-sized."""
     from sssom_curator_spark.operators.sketches import exact_quantiles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return exact_quantiles(docs, "n_chars", [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
 
 
@@ -1747,7 +1779,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected by salted-hash uniforms — deterministic across engines."""
     from sssom_curator_spark.operators.sampling import weighted_sample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "n_chars")
     return weighted_sample(docs, 25, weight_col="n_chars")
 
 
@@ -1756,7 +1788,7 @@ def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest k salted hashes per group, partition-invariant."""
     from sssom_curator_spark.operators.sampling import group_topk_sample
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select(
         "doc_id", (F.col("doc_id") % 7).alias("grp")
     )
     return group_topk_sample(docs, group_cols=["grp"], id_col="doc_id", k=3)
@@ -1769,7 +1801,7 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a delta-sized added/removed/changed table."""
     from sssom_curator_spark.functions.url_ops import crawl_diff
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     d = F.col("doc_id")
     url = F.concat(
         F.lit("http://crawl"), (d % 19).cast("string"), F.lit(".site/p/"), d.cast("string")

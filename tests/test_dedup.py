@@ -360,3 +360,84 @@ class TestDupSpanStats:
         a = sorted(map(tuple, dup_span_stats(docs).collect()))
         b = sorted(map(tuple, dup_span_stats(docs.repartition(7)).collect()))
         assert a == b
+
+
+class TestSimhashSignatureLevelCandidates:
+    """r06: simhash_near_duplicates forms candidates at the distinct-
+    signature level. Must stay pair-for-pair identical to banding doc
+    rows directly, including corpora with large identical-text groups."""
+
+    def test_matches_doc_level_banding(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.dedup import (
+            _SIMHASH_BITS,
+            simhash,
+            simhash_near_duplicates,
+        )
+
+        texts = [
+            "alpha beta gamma delta epsilon",
+            "alpha beta gamma delta zeta",
+            "one two three four five six",
+            "totally different content here now",
+        ]
+        rows = []
+        for i in range(40):
+            # duplicate-heavy: ten copies of each text (ids interleaved)
+            rows.append((i, texts[i % 4]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        new = simhash_near_duplicates(docs, max_hamming=3)
+
+        # reference: the pre-r06 doc-level banding pipeline
+        sig = simhash(docs).localCheckpoint()
+        chunks, width = 4, _SIMHASH_BITS // 4
+        chunk_cols = [
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(chunks)
+        ]
+        banded = sig.select(
+            "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+        ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+        l, r = banded.alias("l"), banded.alias("r")
+        old = (
+            l.join(
+                r,
+                on=[
+                    F.col("l.chunk") == F.col("r.chunk"),
+                    F.col("l.key") == F.col("r.key"),
+                    F.col("l.doc_id") < F.col("r.doc_id"),
+                ],
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= 3)
+        )
+        got = sorted(map(tuple, new.collect()))
+        want = sorted(map(tuple, old.collect()))
+        assert got == want
+        assert len(want) >= 3 * (10 * 9 // 2)  # the identical groups alone
+
+
+class TestNgramJaccardPreGate:
+    """r06: the lossless inter >= t*na pre-gate must keep exact-boundary
+    pairs (jaccard == threshold)."""
+
+    def test_boundary_pair_kept(self, spark):
+        from sssom_curator_spark.operators.dedup import ngram_jaccard_pairs
+
+        # 1-gram sets: A={a,b,c}, B={a,b,d} -> inter=2, union=4, j=0.5
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+        )
+        out = ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 0.5)]

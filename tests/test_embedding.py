@@ -267,3 +267,51 @@ class TestHyperplanes:
         pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
         assert ("v0", "v3") in pairs  # identical vectors found
         assert acc.value == 9  # one signature per vector, not 2x
+
+
+class TestCosineNearDupBucketScoring:
+    """r06: per-bucket numpy scoring must stay pair-for-pair identical
+    (ids AND rounded cosines) to the old join+rerank formulation."""
+
+    def test_matches_join_rerank(self, spark):
+        from pyspark.sql import functions as F
+
+        from sssom_curator_spark.operators.similarity import (
+            _banded,
+            _rerank_pairs,
+            cosine_near_duplicates,
+        )
+
+        rows = [
+            (i, [((i * 31 + j * 7) % 23 - 11) / 11.0 for j in range(16)])
+            for i in range(60)
+        ] + [(1000 + i, [((i * 31 + j * 7) % 23 - 11) / 11.0 for j in range(16)]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        new = cosine_near_duplicates(emb, id_col="vec_id", cutoff=0.3)
+
+        banded = _banded(
+            emb, id_col="vec_id", vec_col="embedding",
+            n_planes=16, bands=4, id_alias="_bid",
+        ).persist()
+        l, r = banded.alias("l"), banded.alias("r")
+        cand = (
+            l.join(
+                r,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.key") == F.col("r.key"),
+                    F.col("l._bid") < F.col("r._bid"),
+                ],
+            )
+            .select(F.col("l._bid").alias("doc_a"), F.col("r._bid").alias("doc_b"))
+            .distinct()
+        )
+        old = _rerank_pairs(
+            cand, emb, emb, left_key="doc_a", right_key="doc_b",
+            id_col="vec_id", vec_col="embedding",
+        ).filter(F.col("cosine") >= 0.3)
+        got = sorted(map(tuple, new.collect()))
+        want = sorted(map(tuple, old.collect()))
+        banded.unpersist()
+        assert got == want
+        assert len(want) > 0  # the planted duplicates collide and pass

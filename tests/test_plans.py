@@ -229,3 +229,22 @@ class TestPageRankEdgeReuse:
         # as connected_components' per-round checkpoints).
         after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         assert after - before <= 2 + 4  # iterations + 4, never the 2 persists
+
+
+class TestScanFanOut:
+    """r06: `__spark_entry__._t` fans single-row-group scans out to
+    cluster parallelism with a hash repartition on the table key. The
+    exchange must not block predicate pushdown or column pruning at the
+    scan."""
+
+    def test_pushdown_survives_fanout_repartition(self, spark):
+        import __spark_entry__ as entrymod
+
+        li = entrymod._t(spark, SF_DIR, "lineitem")
+        q = li.filter(F.col("l_orderkey") < 400).select("l_orderkey", "l_partkey")
+        plan = _plan(q)
+        assert "hashpartitioning(l_orderkey" in plan  # the fan-out engaged
+        assert "LessThan(l_orderkey,400)" in plan  # filter pushed to scan
+        assert "l_comment" not in plan  # pruning intact
+        # rows unchanged by the repartition
+        assert q.count() == li.filter(F.col("l_orderkey") < 400).count()
