@@ -50,6 +50,11 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    json_out = None
+    argv = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
@@ -57,8 +62,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(argv)
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,9 +76,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": str(e)[:300]}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            report[name] = {"status": "rows-only", "spark_rows": len(srows)}
             continue
         try:
             odf = con.sql(oracles[name])
@@ -81,10 +89,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            report[name] = {"status": "FAIL", "err": "oracle: " + str(e)[:300]}
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_vals = ok_cols and frame_multiset(scols, srows) == frame_multiset(ocols, orows)
+        report[name] = {
+            "status": "PASS" if (ok_cols and ok_count and ok_vals) else "FAIL",
+            "cols_match": ok_cols,
+            "rows_match": ok_count,
+            "values_match": bool(ok_vals),
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+        }
         if ok_cols and ok_count and ok_vals:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
@@ -101,6 +118,22 @@ def main() -> int:
                 print(f"      oracle-only: {diff_o}")
             failures.append(name)
     print(f"\n{len(failures)} failures: {failures}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(report),
+                    "n_pass": sum(1 for r in report.values() if r["status"] == "PASS"),
+                    "n_rows_only": sum(1 for r in report.values() if r["status"] == "rows-only"),
+                    "n_fail": len(failures),
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+            )
     spark.stop()
     return 1 if failures else 0
 
