@@ -298,7 +298,7 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-shaped tumbling window aggregation in batch (SURVEY.md
     §2.9); hour keys serialize as UTC strings."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -340,7 +340,7 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than the size, so every event lands in size/slide overlapping
     windows (SURVEY.md §2.9; the same expression is streaming-capable).
     The oracle replays the window assignment with epoch arithmetic."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan_out=False)
     return (
         ev.groupBy(
             F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
@@ -360,7 +360,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (export/charts.py:46-66 re-expressed for scale)."""
     from sssom_curator_spark.graph.components import connected_components
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = (
         li.filter(F.col("l_orderkey") < 400)
         .select(
@@ -384,7 +384,7 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = (
         li.filter(F.col("l_orderkey") < 400)
         .select(
@@ -1648,7 +1648,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rounds of most-frequent-neighbor-label with min-label tie-break."""
     from sssom_curator_spark.graph.labelprop import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 1500).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
@@ -1662,7 +1662,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, hub capping exercised in pytest."""
     from sssom_curator_spark.graph.neighbors import neighbor_jaccard
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 1500).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
@@ -1687,7 +1687,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sssom_curator_spark.graph.pagerank import personalized_pagerank
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 3000).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
@@ -1703,7 +1703,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained half-step + L2-normalization CTE oracle."""
     from sssom_curator_spark.graph.hits import hits
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 3000).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
@@ -1716,7 +1716,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph/stats.py): one-row Pearson correlation of edge-end degrees."""
     from sssom_curator_spark.graph.stats import degree_assortativity
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     dense = li.filter(F.col("l_orderkey") < 800).select(
         F.concat(F.lit("d"), (F.col("l_orderkey") % 15).cast("string")).alias("src"),
         F.concat(F.lit("d"), (F.col("l_partkey") % 15).cast("string")).alias("dst"),
@@ -1733,7 +1733,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a fixpoint vs a fixed-round CTE oracle."""
     from sssom_curator_spark.graph.stats import k_core
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     dense = li.filter(F.col("l_orderkey") < 800).select(
         F.concat(F.lit("d"), (F.col("l_orderkey") % 15).cast("string")).alias("src"),
         F.concat(F.lit("d"), (F.col("l_partkey") % 15).cast("string")).alias("dst"),
@@ -1751,7 +1751,7 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-flight report for join-strategy decisions."""
     from sssom_curator_spark.graph.stats import degree_histogram
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 1500).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 40).cast("string")).alias("dst"),
@@ -1765,7 +1765,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs; oracle is the independent canonical-edge 3-way join."""
     from sssom_curator_spark.graph.triangles import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 3000).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
@@ -1958,7 +1958,7 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ontology-hierarchy (skos:broader) ancestor-expansion operator."""
     from sssom_curator_spark.graph.closure import transitive_closure
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 2000).select(
         F.concat(F.lit("n"), (F.col("l_orderkey") % 80).cast("string")).alias("src"),
         F.concat(
@@ -1975,7 +1975,7 @@ def q_bounded_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sssom_curator_spark.graph.closure import bounded_reachability
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 2000).select(
         F.concat(F.lit("n"), (F.col("l_orderkey") % 80).cast("string")).alias("src"),
         F.concat(
@@ -1992,7 +1992,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration — deterministic, so the hash comparison is exact at 6 dp."""
     from sssom_curator_spark.graph.pagerank import pagerank
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=False)
     edges = li.filter(F.col("l_orderkey") < 3000).select(
         F.concat(F.lit("p"), (F.col("l_orderkey") % 60).cast("string")).alias("src"),
         F.concat(F.lit("p"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),

@@ -52,6 +52,23 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    if os.environ.get("PLANS_NO_CKPT") == "1":
+        # Operators that end in an eager localCheckpoint capture as a bare
+        # "Scan ExistingRDD" (the checkpoint truncates the plan — that IS
+        # the shipped execution shape, but it hides the interior). This
+        # mode no-ops localCheckpoint so the full composed plan is visible;
+        # the resulting files carry a _full suffix and are documentation
+        # only — the runtime plan is the checkpointed one.
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[assignment]
+        try:  # Spark 4: the concrete classic class overrides the base ABC
+            from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+            _CDF.localCheckpoint = lambda self, eager=True: self  # type: ignore[assignment]
+        except ImportError:
+            pass
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name=f"plans-{tag}", master="local[8]")
     qs = entrymod.queries()
