@@ -504,26 +504,49 @@ def cosine_near_duplicates(
         norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
         out_a, out_b, out_s = [], [], []
         dim = mat.shape[1]
-        # block the doc_a side so the (block, n_rows, dim) product stays
-        # ~tens of MB regardless of bucket size
-        blk = max(4, int(24e6 / (max(n_rows, 1) * dim * 8)) or 4)
+        # Two-phase scoring, exact by construction:
+        # 1. a BLAS matmul computes every pairwise dot FAST but in an
+        #    unspecified summation order; |matmul − sequential| is bounded
+        #    by dim·ulp·Σ|aᵢbᵢ| ≤ dim·2⁻⁵²·‖a‖‖b‖ (≈1e-14 of the
+        #    denominator), so pairs at least 1e-6 UNDER the margin can be
+        #    discarded without ever affecting the result;
+        # 2. survivors (output-rate-sized, not bucket²) are rescored with
+        #    the exact sequential cumsum — the value that is emitted.
+        # This keeps huge buckets tractable: the quadratic phase runs at
+        # matmul speed, the exact phase scales with the near-dup rate.
+        blk = max(16, int(1e7 / max(n_rows, 1)))
         for s in range(0, n_rows - 1, blk):
             e = min(s + blk, n_rows)
             right = mat[s + 1 :]  # only j > s can pair with this block
-            prod = mat[s:e, None, :] * right[None, :, :]
-            dots = np.cumsum(prod, axis=2)[:, :, -1]  # sequential adds
+            dots_fast = mat[s:e] @ right.T
             denom = norms[s:e, None] * norms[None, s + 1 :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, dots / denom, 0.0)
+                sims_fast = np.where(denom > 0, dots_fast / denom, 0.0)
             # global j must exceed global i, and equal ids never pair
             gi = np.arange(s, e)[:, None]
             gj = np.arange(s + 1, n_rows)[None, :]
-            keep = (sims >= margin) & (gj > gi) & (ids[gj] != ids[gi])
+            keep = (sims_fast >= margin - 1e-6) & (gj > gi) & (
+                ids[gj] != ids[gi]
+            )
             ii, jj = np.nonzero(keep)
-            if len(ii):
-                out_a.append(ids[ii + s])
-                out_b.append(ids[jj + s + 1])
-                out_s.append(sims[ii, jj])
+            if not len(ii):
+                continue
+            # exact sequential rescore of the surviving pairs, chunked so
+            # the (chunk, dim) temporaries stay tens of MB
+            gi_f = ii + s
+            gj_f = jj + s + 1
+            for c0 in range(0, len(gi_f), 100_000):
+                c1 = min(c0 + 100_000, len(gi_f))
+                ci, cj = gi_f[c0:c1], gj_f[c0:c1]
+                dots = np.cumsum(mat[ci] * mat[cj], axis=1)[:, -1]
+                dn = norms[ci] * norms[cj]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(dn > 0, dots / dn, 0.0)
+                k = sims >= margin
+                if k.any():
+                    out_a.append(ids[ci[k]])
+                    out_b.append(ids[cj[k]])
+                    out_s.append(sims[k])
         if not out_a:
             return empty
         return pd.DataFrame(
